@@ -1,0 +1,153 @@
+"""Typed configuration for the TPU convex-MPC engine.
+
+Replaces the reference's three config tiers (static ROS yaml params,
+dynamic_reconfigure, compile-time #defines — see
+be2r_cmpc_unitree/config/ros_config.yaml:91-93,
+config/config_a1_sim.yaml:20-38, ConvexMPCLocomotion.cpp:14-16) with a
+single set of frozen dataclasses.  All fields that shape the compiled
+program (horizon, iteration counts) are Python ints so configs are
+hashable and usable as jit static arguments; numeric tunables are floats
+that become traced constants.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class MPCConfig:
+    """Dense convex-MPC problem definition.
+
+    Mirrors problem_setup + the hardcoded weights/limits of the reference:
+    - dt_mpc / horizon / mu / f_max: convexMPC_interface.h:15-21 and the
+      setup_problem(dtMPC, horizon, 0.4, 120) call at
+      ConvexMPCLocomotion.cpp:62.
+    - weights Q: solveDenseMPC at ConvexMPCLocomotion.cpp:617.
+    - alpha (force regularization): ConvexMPCLocomotion.cpp:623.
+    - mass / I_body: RobotState.h:26 (m=12) and RobotState.cpp:45-49.
+    """
+
+    horizon: int = 10
+    dt_mpc: float = 0.026          # dt * iterationsBetweenMPC = 0.002 * 13
+    mu: float = 0.4
+    f_max: float = 120.0
+    mass: float = 12.0
+    inertia_body: Tuple[float, float, float] = (0.07, 0.26, 0.242)
+    weights: Tuple[float, ...] = (
+        0.25, 0.25, 10.0, 10.0, 2.0, 50.0, 0.0, 0.0, 0.3, 0.2, 0.2, 0.1,
+    )
+    alpha: float = 4e-5
+    gravity: float = 9.8           # x_0[12] = -9.8 (SolverMPC.cpp:592)
+    big_number: float = 5e10       # BIG_NUMBER upper bound (SolverMPC.cpp:19)
+
+    def __post_init__(self):
+        if self.horizon < 1:
+            raise ValueError("horizon must be >= 1")
+        if len(self.weights) != 12:
+            raise ValueError("weights must have 12 entries")
+
+
+@dataclasses.dataclass(frozen=True)
+class ADMMConfig:
+    """Batched OSQP-style ADMM settings.
+
+    Semantics follow the reference's JCQP solver settings
+    (JCQP/QpProblem.h:16-38, defaults from config/ros_dynamic_params.cfg:102-107)
+    but with a fixed iteration count: fixed-shape iteration is the
+    XLA-friendly formulation (no data-dependent termination inside jit).
+    """
+
+    rho: float = 1e-1
+    sigma: float = 1e-6
+    over_relax: float = 1.6     # alpha in OSQP notation
+    iterations: int = 50
+    # Constraint-type-dependent rho scaling (OSQP "rho_eq" analog): rows
+    # whose bounds pin z (l == u) get rho * eq_scale.
+    eq_scale: float = 1e3
+
+
+@dataclasses.dataclass(frozen=True)
+class PDIPConfig:
+    """Primal-dual interior-point settings (high-accuracy verification mode)."""
+
+    iterations: int = 25
+    tau: float = 0.995         # fraction-to-boundary
+    reg: float = 1e-9
+    # Upper bounds are clamped to this before solving: the reference's
+    # BIG_NUMBER=5e10 pyramid bounds (SolverMPC.cpp:19) are never active
+    # (forces are <= f_max per foot), and finite slacks keep the IPM
+    # well-scaled in f32.
+    big_clamp: float = 1e4
+
+
+@dataclasses.dataclass(frozen=True)
+class EstimatorConfig:
+    """Periodic disturbance estimator settings.
+
+    Mirrors SolverMPC.cpp: window 400 (:704), freeze after 500 samples
+    (:707,:808), Gaussian blur sigmas 7 and 27 (:714-715), EMA smoothing
+    0.95/0.05 (:783) and static-estimator EMA 0.97/0.03 (:798).
+    """
+
+    window: int = 400
+    freeze_after: int = 500
+    sigma_fast: float = 7.0
+    sigma_slow: float = 27.0
+    ema_smooth: float = 0.95
+    ema_static: float = 0.97
+    # The reference computes compensatory_force = est_amp + sin(2*pi*f*t + phase)
+    # (SolverMPC.cpp:766) — amplitude *added to* a unit sinusoid, not
+    # multiplying it.  faithful=True replicates that exactly; False uses the
+    # conventional fit offset + amp*sin(...) reconstruction.
+    faithful: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class GaitConfig:
+    """Offset-duration gait timing (Gait.cpp OffsetDurationGait).
+
+    offsets/durations are in MPC segments over a period of ``n_segments``
+    (ConvexMPCLocomotion.cpp:41-52 builds the 12 preset gaits with
+    GAIT_PERIOD=20 segments).
+    """
+
+    n_segments: int = 20
+    offsets: Tuple[int, int, int, int] = (0, 10, 10, 0)        # trot
+    durations: Tuple[int, int, int, int] = (10, 10, 10, 10)
+    name: str = "trotting"
+
+
+@dataclasses.dataclass(frozen=True)
+class SwingConfig:
+    """Swing trajectory + Raibert foot-placement parameters.
+
+    - step height: ConvexMPCLocomotion.cpp:23 (#define STEP_HEIGHT 0.06)
+    - p_rel_max clamp: ConvexMPCLocomotion.cpp:316
+    - bonus swing: _dyn_params->cmpc_bonus_swing (ConvexMPCLocomotion.cpp:318)
+    """
+
+    step_height: float = 0.06
+    p_rel_max: float = 0.3
+    bonus_swing: float = 0.0
+    interleave_gain: float = -0.2
+    interleave_y: Tuple[float, float, float, float] = (-0.08, 0.08, 0.02, -0.02)
+
+
+@dataclasses.dataclass(frozen=True)
+class LoopConfig:
+    """Control-loop timing (be2r_cmpc_unitree.hpp:49 MAIN_LOOP_RATE 500,
+    FSM_State_Locomotion.cpp:13 ITERATIONS_BETWEEN_MPC 13)."""
+
+    dt: float = 0.002
+    iterations_between_mpc: int = 13
+    body_height: float = 0.24      # ConvexMPCLocomotion.cpp:24
+    max_pos_error: float = 0.1     # ConvexMPCLocomotion.cpp:537
+    max_vel_x: float = 1.0
+    max_vel_y: float = 0.6
+    max_turn_rate: float = 2.0
+
+    @property
+    def dt_mpc(self) -> float:
+        return self.dt * self.iterations_between_mpc

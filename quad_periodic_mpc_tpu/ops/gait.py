@@ -1,0 +1,147 @@
+"""Offset-duration gait timing, vectorized.
+
+Rebuilds OffsetDurationGait (Gait.cpp) as pure integer/float array math:
+a gait is (offsets[4], durations[4], n_segments) in MPC segments; phases
+and the horizon contact table are functions of the global iteration
+counter — no mutable gait object, so the whole thing vmaps over gaits,
+phase offsets, and batch instances.
+
+The 12 preset gaits mirror ConvexMPCLocomotion.cpp:41-52 at
+GAIT_PERIOD = 20 segments (the MixedFrequency "random" gaits are modeled
+by their own table-builder below).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax.numpy as jnp
+
+
+class GaitParams(NamedTuple):
+    """Array-of-struct gait parameters; every field may carry batch dims."""
+
+    offsets: jnp.ndarray      # (..., 4) int segments
+    durations: jnp.ndarray    # (..., 4) int segments (stance length)
+    n_segments: jnp.ndarray   # (...,) int period in MPC segments
+
+
+# name -> (offsets, durations) at GAIT_PERIOD=20 (ConvexMPCLocomotion.cpp:41-52;
+# trotting uses period/2 = 10, walking uses period/4-based offsets).
+PRESET_GAITS: dict[str, tuple[tuple[int, int, int, int], tuple[int, int, int, int]]] = {
+    "trotting": ((0, 10, 10, 0), (10, 10, 10, 10)),
+    "bounding": ((5, 5, 0, 0), (4, 4, 4, 4)),
+    "pronking": ((0, 0, 0, 0), (8, 8, 8, 8)),
+    "jumping": ((0, 0, 0, 0), (2, 2, 2, 2)),
+    "galloping": ((0, 2, 7, 9), (4, 4, 4, 4)),
+    "standing": ((0, 0, 0, 0), (20, 20, 20, 20)),
+    "trot_running": ((0, 5, 5, 0), (4, 4, 4, 4)),
+    "walking": ((10, 0, 5, 15), (15, 15, 15, 15)),
+    "walking2": ((0, 5, 5, 0), (7, 7, 7, 7)),
+    "pacing": ((5, 0, 5, 0), (5, 5, 5, 5)),
+}
+
+# FSM gait-number -> preset name (ConvexMPCLocomotion.cpp:159-200)
+GAIT_NUMBERS: dict[int, str] = {
+    0: "trotting", 1: "bounding", 2: "pronking", 3: "jumping",
+    4: "standing", 5: "trot_running", 6: "galloping", 8: "pacing",
+    9: "trotting", 10: "walking", 11: "walking2",
+}
+
+
+def preset(name: str, dtype=jnp.int32) -> GaitParams:
+    off, dur = PRESET_GAITS[name]
+    return GaitParams(
+        offsets=jnp.asarray(off, dtype),
+        durations=jnp.asarray(dur, dtype),
+        n_segments=jnp.asarray(20, dtype),
+    )
+
+
+def stacked_presets(names: list[str] | None = None) -> GaitParams:
+    """Stack presets along a leading gait axis (for gait-sweep batches)."""
+    names = names or list(PRESET_GAITS)
+    off = np.array([PRESET_GAITS[n][0] for n in names], np.int32)
+    dur = np.array([PRESET_GAITS[n][1] for n in names], np.int32)
+    seg = np.full((len(names),), 20, np.int32)
+    return GaitParams(jnp.asarray(off), jnp.asarray(dur), jnp.asarray(seg))
+
+
+def phase(gait: GaitParams, iteration: jnp.ndarray, iters_per_mpc: int) -> jnp.ndarray:
+    """Global gait phase in [0, 1) (setIterations, Gait.cpp:218-226)."""
+    period_iters = iters_per_mpc * gait.n_segments
+    return (iteration % period_iters).astype(jnp.float32) / period_iters.astype(
+        jnp.float32
+    )
+
+
+def segment_index(
+    gait: GaitParams, iteration: jnp.ndarray, iters_per_mpc: int
+) -> jnp.ndarray:
+    """Current MPC segment in [0, n_segments) (Gait.cpp:221)."""
+    return (iteration // iters_per_mpc) % gait.n_segments
+
+
+def contact_state(gait: GaitParams, ph: jnp.ndarray) -> jnp.ndarray:
+    """(..., 4) stance progress in (0, 1], 0 if in swing
+    (getContactState, Gait.cpp:47-74)."""
+    seg = gait.n_segments.astype(jnp.float32)[..., None]
+    offset = gait.offsets.astype(jnp.float32) / seg
+    duration = gait.durations.astype(jnp.float32) / seg
+    offset = jnp.where(offset < 0, offset + 1.0, offset)
+    progress = ph[..., None] - offset
+    progress = jnp.where(progress < 0, progress + 1.0, progress)
+    return jnp.where(progress > duration, 0.0, progress / duration)
+
+
+def swing_state(gait: GaitParams, ph: jnp.ndarray) -> jnp.ndarray:
+    """(..., 4) swing progress in (0, 1), 0 if in stance
+    (getSwingState, Gait.cpp:102-135)."""
+    seg = gait.n_segments.astype(jnp.float32)[..., None]
+    offset = gait.offsets.astype(jnp.float32) / seg
+    duration = gait.durations.astype(jnp.float32) / seg
+    swing_offset = offset + duration
+    swing_offset = jnp.where(swing_offset > 1.0, swing_offset - 1.0, swing_offset)
+    swing_duration = 1.0 - duration
+    progress = ph[..., None] - swing_offset
+    progress = jnp.where(progress < 0, progress + 1.0, progress)
+    return jnp.where(
+        progress >= swing_duration,
+        0.0,
+        progress / jnp.where(swing_duration > 0, swing_duration, 1.0),
+    )
+
+
+def mpc_table(
+    gait: GaitParams,
+    seg_idx: jnp.ndarray,
+    horizon: int,
+) -> jnp.ndarray:
+    """(..., horizon, 4) contact table for the QP
+    (getMpcTable, Gait.cpp:159-188).
+
+    Step i looks at segment (i + seg_idx + 1) mod n_segments.
+    """
+    i = jnp.arange(horizon, dtype=seg_idx.dtype)
+    iter_h = (i[..., :, None] + seg_idx[..., None, None] + 1) % gait.n_segments[
+        ..., None, None
+    ]
+    progress = iter_h - gait.offsets[..., None, :]
+    progress = jnp.where(
+        progress < 0, progress + gait.n_segments[..., None, None], progress
+    )
+    return (progress < gait.durations[..., None, :]).astype(jnp.int32)
+
+
+def swing_time(gait: GaitParams, dt_mpc: float) -> jnp.ndarray:
+    """(..., 4) swing duration in seconds (getCurrentSwingTime uses leg 0's
+    duration for all legs, Gait.cpp:252-256; we keep per-leg generality)."""
+    return dt_mpc * (gait.n_segments[..., None] - gait.durations).astype(
+        jnp.float32
+    )
+
+
+def stance_time(gait: GaitParams, dt_mpc: float) -> jnp.ndarray:
+    """(..., 4) stance duration in seconds (Gait.cpp:263-267)."""
+    return dt_mpc * gait.durations.astype(jnp.float32)

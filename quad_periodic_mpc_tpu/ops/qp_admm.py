@@ -1,0 +1,141 @@
+"""Batched OSQP-style ADMM for the condensed MPC QP.
+
+Replaces the reference's dense active-set qpOASES solve
+(SolverMPC.cpp:955-982) and its JCQP ADMM alternative
+(JCQP/QpProblem.h:16-38, selectable via use_jcqp at SolverMPC.cpp:818-838).
+Active-set methods do not batch (divergent pivoting per instance); ADMM
+with a FIXED iteration count is branch-free, shape-static, and runs as a
+chain of batched GEMMs — the TPU-native formulation.
+
+Problem:   min 1/2 x^T P x + q^T x   s.t.  l <= A x <= u
+with A = I_{4h} (x) F (block friction pyramid, ops/constraints.py).
+
+Iteration (OSQP, with over-relaxation alpha):
+
+    x~ = K^{-1} (sigma x - q + A^T (rho z - y))     K = P + sigma I + A^T rho A
+    x+ = alpha x~ + (1 - alpha) x
+    z~ = A x~
+    zr = alpha z~ + (1 - alpha) z
+    z+ = clip(zr + y / rho, l, u)
+    y+ = y + rho (zr - z+)
+
+Structure exploited:
+- A^T rho A is block-diagonal with 3x3 blocks F^T diag(rho_5) F, so K is
+  P plus a cheap block-diagonal bump — assembled with one scatter-add.
+- K^{-1} is computed ONCE per problem (batched Cholesky -> explicit
+  inverse); every iteration is then two small GEMMs + elementwise VPU work.
+  rho * A^T A regularizes K (lambda_min >= sigma + 2 alpha_reg +
+  rho lambda_min(F^T F)), so the explicit f32 inverse is well-conditioned
+  even though P alone is nearly singular (alpha = 4e-5).
+- rho scaling per constraint type mirrors OSQP: rows with l == u
+  (swing-foot fz in [0,0]) get rho * eq_scale, pinning swing forces — the
+  shape-static equivalent of the reference's variable elimination
+  (SolverMPC.cpp:859-950).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from quad_periodic_mpc_tpu.config import ADMMConfig
+from quad_periodic_mpc_tpu.ops import constraints as con
+from quad_periodic_mpc_tpu.ops import linalg
+
+
+class QPData(NamedTuple):
+    """One batched QP instance set (leading batch dims shared)."""
+
+    P: jnp.ndarray        # (..., n, n)
+    q: jnp.ndarray        # (..., n)
+    F: jnp.ndarray        # (5, 3) pyramid block (shared)
+    l: jnp.ndarray        # (..., m) lower bounds (flattened (h*4*5,))
+    u: jnp.ndarray        # (..., m) upper bounds
+
+
+class ADMMState(NamedTuple):
+    x: jnp.ndarray
+    z: jnp.ndarray
+    y: jnp.ndarray
+
+
+def rho_vector(l: jnp.ndarray, u: jnp.ndarray, cfg: ADMMConfig) -> jnp.ndarray:
+    """Per-constraint rho: rho * eq_scale where l == u (OSQP convention)."""
+    eq = jnp.abs(u - l) < 1e-9
+    return jnp.where(eq, cfg.rho * cfg.eq_scale, cfg.rho)
+
+
+def build_kkt_inverse(
+    qp: QPData, rho: jnp.ndarray, cfg: ADMMConfig
+) -> jnp.ndarray:
+    """K^{-1} with K = P + sigma I + A^T diag(rho) A, via batched Cholesky.
+
+    A^T diag(rho) A = blockdiag_k( F^T diag(rho_k) F ), one 3x3 block per
+    foot-step k.
+    """
+    n = qp.P.shape[-1]
+    batch = qp.P.shape[:-2]
+    k = n // con.NU_PER_FOOT
+    rho_blocks = rho.reshape(batch + (k, con.NC_PER_FOOT))
+    # G_k = F^T diag(rho_k) F: (..., k, 3, 3)
+    G = jnp.einsum("ca,...kc,cb->...kab", qp.F, rho_blocks, qp.F)
+    K = qp.P + cfg.sigma * jnp.eye(n, dtype=qp.P.dtype)
+    K = linalg.add_block_diag(K, G)
+    return linalg.cho_inverse(linalg.cholesky_factor(K))
+
+
+def solve(
+    qp: QPData,
+    cfg: ADMMConfig,
+    warm: ADMMState | None = None,
+) -> tuple[jnp.ndarray, ADMMState]:
+    """Run cfg.iterations fixed ADMM steps; returns (x, final state).
+
+    Fully batched over leading dims of qp; jit/vmap/shard_map safe.
+    """
+    rho = rho_vector(qp.l, qp.u, cfg)
+    K_inv = build_kkt_inverse(qp, rho, cfg)
+
+    n = qp.P.shape[-1]
+    m = qp.l.shape[-1]
+    batch = qp.q.shape[:-1]
+    dtype = qp.P.dtype
+    if warm is None:
+        warm = ADMMState(
+            x=jnp.zeros(batch + (n,), dtype),
+            z=jnp.zeros(batch + (m,), dtype),
+            y=jnp.zeros(batch + (m,), dtype),
+        )
+
+    sigma = jnp.asarray(cfg.sigma, dtype)
+    a = jnp.asarray(cfg.over_relax, dtype)
+    rho_inv = 1.0 / rho
+
+    def step(state: ADMMState, _):
+        x, z, y = state
+        rhs = sigma * x - qp.q + con.apply_T(qp.F, rho * z - y)
+        x_t = jnp.einsum("...nm,...m->...n", K_inv, rhs)
+        x_new = a * x_t + (1.0 - a) * x
+        z_t = con.apply(qp.F, x_t)
+        z_r = a * z_t + (1.0 - a) * z
+        z_new = jnp.clip(z_r + rho_inv * y, qp.l, qp.u)
+        y_new = y + rho * (z_r - z_new)
+        return ADMMState(x_new, z_new, y_new), None
+
+    final, _ = jax.lax.scan(step, warm, None, length=cfg.iterations)
+    return final.x, final
+
+
+def kkt_residuals(
+    qp: QPData, x: jnp.ndarray, z: jnp.ndarray, y: jnp.ndarray
+) -> dict[str, jnp.ndarray]:
+    """Primal/dual residual norms (per instance) for accuracy reporting."""
+    ax = con.apply(qp.F, x)
+    r_prim = jnp.max(jnp.abs(ax - z), axis=-1)
+    px = jnp.einsum("...nm,...m->...n", qp.P, x)
+    r_dual = jnp.max(jnp.abs(px + qp.q + con.apply_T(qp.F, y)), axis=-1)
+    viol = jnp.maximum(ax - qp.u, qp.l - ax)
+    r_feas = jnp.max(jnp.maximum(viol, 0.0), axis=-1)
+    return {"primal": r_prim, "dual": r_dual, "feas": r_feas}

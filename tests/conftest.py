@@ -1,0 +1,25 @@
+"""Test harness config: run on CPU with a virtual 8-device mesh.
+
+The container's sitecustomize imports jax at interpreter startup and
+registers the axon TPU tunnel with JAX_PLATFORMS=axon, so the platform
+must be overridden via jax.config (env vars are already latched).
+
+Multi-chip sharding is validated on the fake 8-device CPU mesh the same
+way the reference validates its input-source manager against
+parameter-server fixtures
+(elevation_mapping/test/input_sources/InputSourcesTest.cpp:15-60): a fake
+environment standing in for hardware CI doesn't have.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
