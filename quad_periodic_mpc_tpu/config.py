@@ -59,10 +59,15 @@ class ADMMConfig:
     XLA-friendly formulation (no data-dependent termination inside jit).
     """
 
-    rho: float = 1e-1
+    # rho tuned for the MPC QP family: the force-regularization alpha=4e-5
+    # leaves P nearly singular in unweighted-state directions, and large
+    # rho makes ADMM crawl there (the reference's JCQP default of
+    # max_iter=10000, ros_dynamic_params.cfg:102-107, is the same disease).
+    # rho ~ 3e-4 converges those directions in <200 iterations.
+    rho: float = 3e-4
     sigma: float = 1e-6
     over_relax: float = 1.6     # alpha in OSQP notation
-    iterations: int = 50
+    iterations: int = 200
     # Constraint-type-dependent rho scaling (OSQP "rho_eq" analog): rows
     # whose bounds pin z (l == u) get rho * eq_scale.
     eq_scale: float = 1e3
@@ -75,6 +80,12 @@ class PDIPConfig:
     iterations: int = 25
     tau: float = 0.995         # fraction-to-boundary
     reg: float = 1e-9
+    # Barrier floor: with a FIXED iteration count the central path must not
+    # collapse to exact complementarity (slacks -> 0 -> division blowup);
+    # mu is held at >= mu_min.  1e-10 bounds the complementarity-induced
+    # force error at ~1e-8 N — far below control tolerance.
+    mu_min: float = 1e-10
+    slack_floor: float = 1e-14
     # Upper bounds are clamped to this before solving: the reference's
     # BIG_NUMBER=5e10 pyramid bounds (SolverMPC.cpp:19) are never active
     # (forces are <= f_max per foot), and finite slacks keep the IPM

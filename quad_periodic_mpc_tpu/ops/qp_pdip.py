@@ -79,8 +79,15 @@ def solve(qp: QPData, cfg: PDIPConfig) -> tuple[jnp.ndarray, PDIPState]:
     one = jnp.ones(batch + (m,), dtype)
     state = PDIPState(x=x, sl=one, su=one, zl=one, zu=one)
 
+    floor = jnp.asarray(cfg.slack_floor, dtype)
+    mu_min = jnp.asarray(cfg.mu_min, dtype)
+
     def step(state: PDIPState, _):
         x, sl, su, zl, zu = state
+        sl = jnp.maximum(sl, floor)
+        su = jnp.maximum(su, floor)
+        zl = jnp.maximum(zl, floor)
+        zu = jnp.maximum(zu, floor)
         ax = con.apply(qp.F, x)
 
         r_dual = (
@@ -91,7 +98,7 @@ def solve(qp: QPData, cfg: PDIPConfig) -> tuple[jnp.ndarray, PDIPState]:
         r_pl = sl - (ax - qp.l)
         r_pu = su - (qp.u - ax)
         mu = (jnp.sum(sl * zl, -1) + jnp.sum(su * zu, -1)) / (2 * m)
-        mu_target = 0.1 * mu
+        mu_target = jnp.maximum(0.1 * mu, mu_min)
         r_cl = sl * zl - mu_target[..., None]
         r_cu = su * zu - mu_target[..., None]
 
