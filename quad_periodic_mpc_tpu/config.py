@@ -41,6 +41,9 @@ class MPCConfig:
     alpha: float = 4e-5
     gravity: float = 9.8           # x_0[12] = -9.8 (SolverMPC.cpp:592)
     big_number: float = 5e10       # BIG_NUMBER upper bound (SolverMPC.cpp:19)
+    # x-drag integral gain (cmpc_x_drag dyn param, default 3,
+    # ros_dynamic_params.cfg:97; used at ConvexMPCLocomotion.cpp:817)
+    x_drag_gain: float = 3.0
 
     def __post_init__(self):
         if self.horizon < 1:
@@ -153,7 +156,10 @@ class LoopConfig:
 
     dt: float = 0.002
     iterations_between_mpc: int = 13
-    body_height: float = 0.24      # ConvexMPCLocomotion.cpp:24
+    # body_height dyn-param default 0.29 (ros_dynamic_params.cfg:44) — the
+    # BODY_HEIGHT 0.24 #define at ConvexMPCLocomotion.cpp:24 is shadowed.
+    body_height: float = 0.29
+    swing_height: float = 0.09     # Swing_traj_height (ros_dynamic_params.cfg:45)
     max_pos_error: float = 0.1     # ConvexMPCLocomotion.cpp:537
     max_vel_x: float = 1.0
     max_vel_y: float = 0.6

@@ -27,20 +27,28 @@ class GaitParams(NamedTuple):
     n_segments: jnp.ndarray   # (...,) int period in MPC segments
 
 
-# name -> (offsets, durations) at GAIT_PERIOD=20 (ConvexMPCLocomotion.cpp:41-52;
-# trotting uses period/2 = 10, walking uses period/4-based offsets).
-PRESET_GAITS: dict[str, tuple[tuple[int, int, int, int], tuple[int, int, int, int]]] = {
-    "trotting": ((0, 10, 10, 0), (10, 10, 10, 10)),
-    "bounding": ((5, 5, 0, 0), (4, 4, 4, 4)),
-    "pronking": ((0, 0, 0, 0), (8, 8, 8, 8)),
-    "jumping": ((0, 0, 0, 0), (2, 2, 2, 2)),
-    "galloping": ((0, 2, 7, 9), (4, 4, 4, 4)),
-    "standing": ((0, 0, 0, 0), (20, 20, 20, 20)),
-    "trot_running": ((0, 5, 5, 0), (4, 4, 4, 4)),
-    "walking": ((10, 0, 5, 15), (15, 15, 15, 15)),
-    "walking2": ((0, 5, 5, 0), (7, 7, 7, 7)),
-    "pacing": ((5, 0, 5, 0), (5, 5, 5, 5)),
-}
+def _preset_tables(period: int) -> dict[str, tuple[tuple[int, ...], tuple[int, ...]]]:
+    """(offsets, durations) per gait at a given period, reproducing the
+    constructor expressions at ConvexMPCLocomotion.cpp:41-52.  The runtime
+    period comes from the gait_period dyn param (default 16,
+    ros_dynamic_params.cfg:111), not the GAIT_PERIOD #define."""
+    p = period
+    return {
+        "trotting": ((0, p // 2, p // 2, 0), (p // 2,) * 4),
+        "bounding": ((5, 5, 0, 0), (4, 4, 4, 4)),
+        "pronking": ((0, 0, 0, 0), (8, 8, 8, 8)),
+        "jumping": ((0, 0, 0, 0), (2, 2, 2, 2)),
+        "galloping": ((0, 2, 7, 9), (4, 4, 4, 4)),
+        "standing": ((0, 0, 0, 0), (p,) * 4),
+        "trot_running": ((0, 5, 5, 0), (4, 4, 4, 4)),
+        "walking": ((2 * p // 4, 0, p // 4, 3 * p // 4), (int(0.75 * p),) * 4),
+        "walking2": ((0, 5, 5, 0), (7, 7, 7, 7)),
+        "pacing": ((5, 0, 5, 0), (5, 5, 5, 5)),
+    }
+
+
+DEFAULT_PERIOD = 16
+PRESET_GAITS = _preset_tables(DEFAULT_PERIOD)
 
 # FSM gait-number -> preset name (ConvexMPCLocomotion.cpp:159-200)
 GAIT_NUMBERS: dict[int, str] = {
@@ -50,21 +58,24 @@ GAIT_NUMBERS: dict[int, str] = {
 }
 
 
-def preset(name: str, dtype=jnp.int32) -> GaitParams:
-    off, dur = PRESET_GAITS[name]
+def preset(name: str, period: int = DEFAULT_PERIOD, dtype=jnp.int32) -> GaitParams:
+    off, dur = _preset_tables(period)[name]
     return GaitParams(
         offsets=jnp.asarray(off, dtype),
         durations=jnp.asarray(dur, dtype),
-        n_segments=jnp.asarray(20, dtype),
+        n_segments=jnp.asarray(period, dtype),
     )
 
 
-def stacked_presets(names: list[str] | None = None) -> GaitParams:
+def stacked_presets(
+    names: list[str] | None = None, period: int = DEFAULT_PERIOD
+) -> GaitParams:
     """Stack presets along a leading gait axis (for gait-sweep batches)."""
     names = names or list(PRESET_GAITS)
-    off = np.array([PRESET_GAITS[n][0] for n in names], np.int32)
-    dur = np.array([PRESET_GAITS[n][1] for n in names], np.int32)
-    seg = np.full((len(names),), 20, np.int32)
+    tables = _preset_tables(period)
+    off = np.array([tables[n][0] for n in names], np.int32)
+    dur = np.array([tables[n][1] for n in names], np.int32)
+    seg = np.full((len(names),), period, np.int32)
     return GaitParams(jnp.asarray(off), jnp.asarray(dur), jnp.asarray(seg))
 
 
