@@ -1,0 +1,145 @@
+#!/usr/bin/env python
+"""Headline benchmark: horizon-10 A1 trot MPC solves/s/chip.
+
+Measures the full production control step (mpc_step: reference-trajectory
+build, disturbance residual + periodic estimator update, SRB
+linearization, closed-form discretization + condensation, batched QP
+solve, force extraction) — the TPU rebuild of one solve_mpc call
+(SolverMPC.cpp:566) plus its assembly in solveDenseMPC
+(ConvexMPCLocomotion.cpp:612).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "solves/s", "vs_baseline": R}
+
+vs_baseline is value / 1e4 — the driver target (BASELINE.md: >= 1e4
+horizon-10 solves/s/chip; the reference C++ controller performs 38.5
+solves/s on its CPU budget).  Extra detail goes to stderr.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=0, help="0 = auto sweep")
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--horizon", type=int, default=10)
+    ap.add_argument("--solver", choices=["admm", "pdip"], default="admm")
+    ap.add_argument("--admm-iters", type=int, default=100)
+    ap.add_argument("--latency", action="store_true", help="also measure b=1 latency")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from quad_periodic_mpc_tpu.config import (
+        ADMMConfig, EstimatorConfig, LoopConfig, MPCConfig, PDIPConfig,
+    )
+    from quad_periodic_mpc_tpu.control import mpc as M
+    from quad_periodic_mpc_tpu.ops import gait as G
+    from quad_periodic_mpc_tpu.sim import srb_sim as S
+
+    dtype = jnp.float32
+    mpc_cfg = MPCConfig(horizon=args.horizon)
+    loop_cfg = LoopConfig()
+    est_cfg = EstimatorConfig()
+    solver = (
+        ADMMConfig(iterations=args.admm_iters)
+        if args.solver == "admm"
+        else PDIPConfig(iterations=25)
+    )
+
+    def make_inputs(batch: int):
+        plant = S.init_plant((batch,), body_height=0.29, dtype=dtype)
+        obs = S.observe(plant)
+        ctrl = M.init_state((batch,), obs, dtype=dtype)
+        # spread gait phase across the batch (gait-phase sweep axis)
+        ctrl = ctrl._replace(
+            iteration=(jnp.arange(batch, dtype=jnp.int32) * 7) % 208
+        )
+        cmd = M.Command(
+            vx=jnp.full((batch,), 0.3, dtype),
+            vy=jnp.zeros((batch,), dtype),
+            yaw_rate=jnp.zeros((batch,), dtype),
+            body_height=jnp.full((batch,), 0.29, dtype),
+        )
+        gait = G.preset("trotting")
+        return ctrl, obs, cmd, gait, plant.t
+
+    def step(ctrl, obs, cmd, gait, t):
+        ctrl, forces = M.mpc_step(
+            ctrl, obs, cmd, gait, t, mpc_cfg, loop_cfg, est_cfg, solver
+        )
+        return ctrl, forces
+
+    step_jit = jax.jit(step, donate_argnums=(0,))
+
+    def throughput(batch: int) -> float:
+        ctrl, obs, cmd, gait, t = make_inputs(batch)
+        ctrl, f = step_jit(ctrl, obs, cmd, gait, t)
+        jax.block_until_ready(f)
+        n = args.iters
+        t0 = time.perf_counter()
+        for _ in range(n):
+            ctrl, f = step_jit(ctrl, obs, cmd, gait, t)
+        jax.block_until_ready(f)
+        dt = time.perf_counter() - t0
+        return batch * n / dt
+
+    if args.batch:
+        batches = [args.batch]
+    else:
+        batches = [512, 2048, 8192]
+
+    best = 0.0
+    best_b = 0
+    for b in batches:
+        try:
+            sps = throughput(b)
+        except Exception as e:  # OOM etc — report what we can
+            print(f"batch {b}: failed ({type(e).__name__})", file=sys.stderr)
+            continue
+        print(f"batch {b}: {sps:,.0f} solves/s", file=sys.stderr)
+        if sps > best:
+            best, best_b = sps, b
+
+    if args.latency:
+        ctrl, obs, cmd, gait, t = make_inputs(1)
+        lat_step = jax.jit(step)
+        ctrl2, f = lat_step(ctrl, obs, cmd, gait, t)
+        jax.block_until_ready(f)
+        lats = []
+        for _ in range(100):
+            t0 = time.perf_counter()
+            _, f = lat_step(ctrl, obs, cmd, gait, t)
+            jax.block_until_ready(f)
+            lats.append(time.perf_counter() - t0)
+        lats = np.asarray(lats) * 1e3
+        print(
+            f"b=1 latency p50 {np.percentile(lats, 50):.3f} ms, "
+            f"p99 {np.percentile(lats, 99):.3f} ms (budget 2 ms)",
+            file=sys.stderr,
+        )
+
+    print(
+        json.dumps(
+            {
+                "metric": f"h{args.horizon}_a1_trot_mpc_solves_per_s_per_chip",
+                "value": round(best, 1),
+                "unit": "solves/s",
+                "vs_baseline": round(best / 1e4, 4),
+            }
+        )
+    )
+    print(f"best batch: {best_b}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

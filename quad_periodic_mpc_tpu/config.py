@@ -111,11 +111,26 @@ class EstimatorConfig:
     sigma_slow: float = 27.0
     ema_smooth: float = 0.95
     ema_static: float = 0.97
-    # The reference computes compensatory_force = est_amp + sin(2*pi*f*t + phase)
-    # (SolverMPC.cpp:766) — amplitude *added to* a unit sinusoid, not
-    # multiplying it.  faithful=True replicates that exactly; False uses the
-    # conventional fit offset + amp*sin(...) reconstruction.
-    faithful: bool = True
+    # Estimator mode:
+    # - "faithful": bit-faithful to the shipped reference —
+    #   band-pass + FFT-peak fit with amp = sqrt(2) std, phase = 0, and
+    #   compensatory_force = est_amp + sin(2 pi f t) (SolverMPC.cpp:766,
+    #   amplitude ADDED to a unit sinusoid, sic), frozen after
+    #   freeze_after samples.
+    # - "ls": the reference's own disabled proper estimator
+    #   (SolverMPC.cpp:1106-1235, commented out): FFT frequency guess
+    #   (parabolic-refined) + linear least squares on
+    #   [sin(wt), cos(wt), 1] giving full (amp, phase, offset);
+    #   comp = c + B sin(wt) + D cos(wt); refit every solve.
+    mode: str = "faithful"
+    # "ls" releases compensation to the QP as soon as the window is full.
+    ls_release: int = 400
+    # Residual extraction: "reference" uses the continuous-time A, B in the
+    # one-step residual exactly as ConvexMPCLocomotion.cpp:641-776 does
+    # (dimensionally odd but faithful); "discrete" solves the proper
+    # discrete residual Qd w = x_k - Ad x_prev - Bd u_prev for the
+    # acceleration-space wrench w (recommended with mode="ls").
+    residual: str = "reference"
 
 
 @dataclasses.dataclass(frozen=True)

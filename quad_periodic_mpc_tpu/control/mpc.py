@@ -253,10 +253,19 @@ def mpc_step(
     x_k = srb.pack_state(rpy, p_used, obs.omega, obs.v, mpc.gravity)
     # (reference packs x_k(12) = -9.81 here vs -9.8 in the solver; we use
     # the config gravity uniformly)
-    f_ext = est_ops.residual_f_ext(
-        x_k, state.prev_x, state.f_ff, state.prev_R, state.prev_r_feet,
-        mpc.mass, jnp.asarray(mpc.inertia_body, dtype), state.prev_x_drag,
-    )
+    if est_cfg.residual == "discrete":
+        f_ext = est_ops.residual_discrete(
+            x_k, state.prev_x, state.fr_des, state.prev_R,
+            state.prev_r_feet, mpc.mass,
+            jnp.asarray(mpc.inertia_body, dtype), state.prev_x_drag,
+            mpc.dt_mpc,
+        )
+    else:
+        f_ext = est_ops.residual_f_ext(
+            x_k, state.prev_x, state.f_ff, state.prev_R, state.prev_r_feet,
+            mpc.mass, jnp.asarray(mpc.inertia_body, dtype),
+            state.prev_x_drag,
+        )
     f_ext = jnp.where(state.have_prev[..., None], f_ext, 0.0)
     est_state, f_for_qp = est_ops.update(state.est, sim_time, f_ext, est_cfg)
 

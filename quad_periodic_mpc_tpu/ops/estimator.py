@@ -57,6 +57,8 @@ class EstimatorState(NamedTuple):
     est_freq: jnp.ndarray     # (...,)
     est_phase: jnp.ndarray    # (...,)
     est_stat: jnp.ndarray     # (...,)
+    est_sin: jnp.ndarray      # (...,) LS sin coefficient (ls mode)
+    est_cos: jnp.ndarray      # (...,) LS cos coefficient (ls mode)
     f_est: jnp.ndarray        # (..., 6)
     f_est_smoothed: jnp.ndarray   # (..., 6)
     f_est_static: jnp.ndarray     # (..., 6)
@@ -72,6 +74,8 @@ def init(batch: tuple = (), window: int = 400, dtype=jnp.float32) -> EstimatorSt
         est_freq=z(batch),
         est_phase=z(batch),
         est_stat=z(batch),
+        est_sin=z(batch),
+        est_cos=z(batch),
         f_est=z(batch + (6,)),
         f_est_smoothed=z(batch + (6,)),
         f_est_static=z(batch + (6,)),
@@ -128,6 +132,63 @@ def fit_sin(times: jnp.ndarray, smoothed: jnp.ndarray) -> SinFit:
     )
 
 
+def fit_sin_ls(times: jnp.ndarray, y: jnp.ndarray) -> tuple[SinFit, jnp.ndarray, jnp.ndarray]:
+    """Least-squares sinusoid fit — the reference's own disabled proper
+    estimator (SolverMPC.cpp:1106-1235, commented out), batched:
+
+    1. frequency guess from the FFT magnitude peak, refined by parabolic
+       interpolation of the three bins around the peak;
+    2. linear LS of y ~ B sin(w t) + D cos(w t) + c via the 3x3 normal
+       equations (the reference's hand-rolled Gauss elimination,
+       SolverMPC.cpp:1176-1219).
+
+    Returns (SinFit with amp/freq/phase/offset, B, D) where
+    y(t) ~ c + B sin(w t) + D cos(w t).
+    """
+    n = y.shape[-1]
+    dt = times[..., 1] - times[..., 0]
+    ym = y - jnp.mean(y, axis=-1, keepdims=True)
+    spec = jnp.abs(jnp.fft.rfft(ym, axis=-1))
+    mag = spec.at[..., 0].set(-jnp.inf)
+    k = jnp.argmax(mag, axis=-1)
+    kc = jnp.clip(k, 1, spec.shape[-1] - 2).astype(y.dtype)
+    bin_f = 1.0 / (n * dt)
+
+    def ls_at(freq):
+        """LS of y ~ B sin + D cos + c at a fixed frequency; returns
+        (sse, coef)."""
+        w = 2.0 * jnp.asarray(np.pi, y.dtype) * freq
+        s = jnp.sin(w[..., None] * times)
+        c = jnp.cos(w[..., None] * times)
+        basis = jnp.stack([s, c, jnp.ones_like(s)], axis=-2)   # (..., 3, n)
+        G = jnp.einsum("...in,...jn->...ij", basis, basis)
+        b = jnp.einsum("...in,...n->...i", basis, y)
+        coef = jnp.linalg.solve(G, b[..., None])[..., 0]
+        resid = y - jnp.einsum("...i,...in->...n", coef, basis)
+        return jnp.sum(resid * resid, axis=-1), coef
+
+    # Two-stage fixed-size frequency grid around the FFT peak: shape-static,
+    # batched replacement for a nonlinear freq refinement.  Stage 1 spans
+    # +-1 bin in 17 points; stage 2 spans +-1 stage-1 step around the
+    # winner — net resolution bin/64 (~0.0015 Hz at window 400 / dt 0.026).
+    def grid_pick(center, half_span):
+        offsets = jnp.linspace(-1.0, 1.0, 17).astype(y.dtype)
+        cand = center[..., None] + offsets * half_span[..., None]  # (..., 17)
+        cand_t = jnp.moveaxis(cand, -1, 0)                         # (17, ...)
+        sse, coef = ls_at(cand_t)
+        best = jnp.argmin(sse, axis=0)
+        freq = jnp.take_along_axis(cand_t, best[None, ...], axis=0)[0]
+        coef = jnp.take_along_axis(coef, best[None, ..., None], axis=0)[0]
+        return freq, coef
+
+    freq, _ = grid_pick(kc * bin_f, bin_f)
+    freq, coef = grid_pick(freq, bin_f / 8.0)
+    B, D, off = coef[..., 0], coef[..., 1], coef[..., 2]
+    amp = jnp.sqrt(B * B + D * D)
+    phase = jnp.arctan2(D, B)
+    return SinFit(amp=amp, freq=freq, phase=phase, offset=off), B, D
+
+
 def update(
     state: EstimatorState,
     sim_time: jnp.ndarray,
@@ -136,8 +197,9 @@ def update(
 ) -> tuple[EstimatorState, jnp.ndarray]:
     """One estimator step (per MPC solve).  Returns (new_state, f_for_qp).
 
-    f_for_qp is the wrench the QP gradient consumes: f_est once
-    count > freeze_after, zeros before (SolverMPC.cpp:808-814).
+    mode="faithful": f_for_qp is f_est once count > freeze_after, zeros
+    before (SolverMPC.cpp:808-814); the fit freezes after freeze_after.
+    mode="ls": continuous refit; released once count >= ls_release.
     """
     dtype = state.diffs.dtype
     times = jnp.concatenate(
@@ -147,23 +209,38 @@ def update(
         [state.diffs[..., 1:], f_ext[..., 3][..., None].astype(dtype)], axis=-1
     )
     count = state.count + 1
-
-    blurred = gaussian_filter(diffs, cfg.sigma_fast)
-    very_blurred = gaussian_filter(diffs, cfg.sigma_slow)
-    fit = fit_sin(times, blurred - very_blurred)
-
-    fit_active = (count >= cfg.window) & (count <= cfg.freeze_after)
-    est_amp = jnp.where(fit_active, fit.amp, state.est_amp)
-    est_freq = jnp.where(fit_active, fit.freq, state.est_freq)
-    est_phase = jnp.where(fit_active, fit.phase, state.est_phase)
-    est_stat = jnp.where(fit_active, fit.offset, state.est_stat)
-
     two_pi = jnp.asarray(2.0 * np.pi, dtype)
-    phase_arg = two_pi * sim_time * est_freq + est_phase
-    if cfg.faithful:
-        comp = est_amp + jnp.sin(phase_arg)       # SolverMPC.cpp:766 (sic)
+
+    if cfg.mode == "faithful":
+        blurred = gaussian_filter(diffs, cfg.sigma_fast)
+        very_blurred = gaussian_filter(diffs, cfg.sigma_slow)
+        fit = fit_sin(times, blurred - very_blurred)
+
+        fit_active = (count >= cfg.window) & (count <= cfg.freeze_after)
+        est_amp = jnp.where(fit_active, fit.amp, state.est_amp)
+        est_freq = jnp.where(fit_active, fit.freq, state.est_freq)
+        est_phase = jnp.where(fit_active, fit.phase, state.est_phase)
+        est_stat = jnp.where(fit_active, fit.offset, state.est_stat)
+        est_sin, est_cos = state.est_sin, state.est_cos
+
+        comp = est_amp + jnp.sin(two_pi * sim_time * est_freq + est_phase)
+        release = count > cfg.freeze_after
+    elif cfg.mode == "ls":
+        blurred = gaussian_filter(diffs, cfg.sigma_fast)
+        fit, B, D = fit_sin_ls(times, blurred)
+        fit_active = count >= cfg.window
+        est_amp = jnp.where(fit_active, fit.amp, state.est_amp)
+        est_freq = jnp.where(fit_active, fit.freq, state.est_freq)
+        est_phase = jnp.where(fit_active, fit.phase, state.est_phase)
+        est_stat = jnp.where(fit_active, fit.offset, state.est_stat)
+        est_sin = jnp.where(fit_active, B, state.est_sin)
+        est_cos = jnp.where(fit_active, D, state.est_cos)
+
+        wt = two_pi * est_freq * sim_time
+        comp = est_stat + est_sin * jnp.sin(wt) + est_cos * jnp.cos(wt)
+        release = count >= cfg.ls_release
     else:
-        comp = est_stat + est_amp * jnp.sin(phase_arg)
+        raise ValueError(f"unknown estimator mode {cfg.mode!r}")
 
     have_fit = count >= cfg.window
     f_est = state.f_est.at[..., 3].set(
@@ -180,11 +257,12 @@ def update(
     new_state = EstimatorState(
         times=times, diffs=diffs, count=count,
         est_amp=est_amp, est_freq=est_freq, est_phase=est_phase,
-        est_stat=est_stat, f_est=f_est, f_est_smoothed=f_est_smoothed,
+        est_stat=est_stat, est_sin=est_sin, est_cos=est_cos,
+        f_est=f_est, f_est_smoothed=f_est_smoothed,
         f_est_static=f_est_static,
     )
     f_for_qp = jnp.where(
-        (count > cfg.freeze_after)[..., None], f_est, jnp.zeros_like(f_est)
+        release[..., None], f_est, jnp.zeros_like(f_est)
     )
     return new_state, f_for_qp
 
@@ -227,3 +305,41 @@ def residual_f_ext(
     seg = f_full[..., 6:12]
     sign = jnp.asarray([-1.0, -1.0, 1.0, 1.0, 1.0, 1.0], x_k.dtype)
     return seg * sign
+
+
+def residual_discrete(
+    x_k: jnp.ndarray,
+    x_prev: jnp.ndarray,
+    u_prev_forces: jnp.ndarray,
+    R_prev: jnp.ndarray,
+    r_feet_prev: jnp.ndarray,
+    mass,
+    I_body_diag: jnp.ndarray,
+    x_drag_prev,
+    dt,
+) -> jnp.ndarray:
+    """Proper discrete disturbance residual (recommended for mode="ls").
+
+    Solves the least-squares problem Qd w = x_k - Ad x_prev - Bd u_prev
+    for the acceleration-space wrench w (the xi of the README's
+    Q_d-augmented model).  u_prev here are the MPC's world-frame reaction
+    forces Fr_des (NOT the negated f_ff — this path is self-consistent
+    with the model the plant/QP use).
+    """
+    from quad_periodic_mpc_tpu.models import srb
+    from quad_periodic_mpc_tpu.ops import discretize
+
+    A, B, Qc = srb.ct_dynamics(
+        R_prev, r_feet_prev, mass, I_body_diag, x_drag_prev
+    )
+    Adt, Bdt, Qdt = discretize.nilpotent_zoh(A, B, Qc, dt)
+    u_prev = u_prev_forces.reshape(u_prev_forces.shape[:-2] + (12,))
+    xi = (
+        x_k
+        - jnp.einsum("...ij,...j->...i", Adt, x_prev)
+        - jnp.einsum("...ij,...j->...i", Bdt, u_prev)
+    )
+    # normal equations: w = (Qdt^T Qdt)^{-1} Qdt^T xi   (6x6 solve)
+    G = jnp.einsum("...ni,...nj->...ij", Qdt, Qdt)
+    b = jnp.einsum("...ni,...n->...i", Qdt, xi)
+    return jnp.linalg.solve(G, b[..., None])[..., 0]

@@ -1,0 +1,112 @@
+"""Closed-loop validation on the analytic SRB plant — the rebuild's
+equivalent of the reference's de-facto integration test (RaiSim + trot +
+injected sinusoidal force, SURVEY.md section 4).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from quad_periodic_mpc_tpu.config import (
+    ADMMConfig, EstimatorConfig, LoopConfig, MPCConfig, PDIPConfig,
+)
+from quad_periodic_mpc_tpu.control import loop as L
+from quad_periodic_mpc_tpu.control import mpc as M
+from quad_periodic_mpc_tpu.ops import gait as G
+from quad_periodic_mpc_tpu.sim import srb_sim as S
+
+DTYPE = jnp.float64
+MPC_CFG = MPCConfig(horizon=10)
+LOOP_CFG = LoopConfig()
+SOLVER = PDIPConfig(iterations=25)
+
+
+def run(gait_name, vx, dist, est_cfg, n_steps, solver=SOLVER, batch=()):
+    plant = S.init_plant(batch, body_height=0.29, dtype=DTYPE)
+    obs = S.observe(plant)
+    ctrl = M.init_state(batch, obs, dtype=DTYPE)
+    full = lambda v: jnp.full(batch, v, DTYPE)
+    cmd = M.Command(vx=full(vx), vy=full(0.0), yaw_rate=full(0.0),
+                    body_height=full(0.29))
+    gait = G.preset(gait_name)
+    return L.rollout(
+        n_steps, plant, ctrl, cmd, gait, dist, MPC_CFG, LOOP_CFG, est_cfg,
+        solver,
+    )
+
+
+def test_standing_holds_pose():
+    carry, tr = run("standing", 0.0, S.DisturbanceParams.zero((), DTYPE),
+                    EstimatorConfig(), 30)
+    x = np.asarray(tr.x)
+    assert abs(x[-1, 5] - 0.29) < 0.02          # height
+    assert np.abs(x[-1, 0:3]).max() < 0.01      # level attitude
+    assert np.abs(x[-1, 9:12]).max() < 0.01     # at rest
+
+
+def test_trot_tracks_velocity():
+    carry, tr = run("trotting", 0.3, S.DisturbanceParams.zero((), DTYPE),
+                    EstimatorConfig(), 100)
+    x = np.asarray(tr.x)
+    vx = x[:, 9]
+    assert abs(vx[30:].mean() - 0.3) < 0.03
+    assert abs(x[-1, 5] - 0.29) < 0.02
+    # distance ~ v * t
+    t_total = 100 * MPC_CFG.dt_mpc
+    assert abs(x[-1, 3] - 0.3 * t_total) < 0.12 * 0.3 * t_total + 0.05
+
+
+def test_trot_admm_solver_closed_loop():
+    """The ADMM backend holds the loop too (warm-start-free, 200 iters)."""
+    carry, tr = run("trotting", 0.3, S.DisturbanceParams.zero((), DTYPE),
+                    EstimatorConfig(), 60, solver=ADMMConfig(iterations=200))
+    x = np.asarray(tr.x)
+    assert abs(x[20:, 9].mean() - 0.3) < 0.04
+    assert abs(x[-1, 5] - 0.29) < 0.02
+
+
+@pytest.mark.slow
+def test_adaptive_mpc_beats_static_under_periodic_disturbance():
+    """THE paper experiment (README 'Results' / IFAC paper): under
+    F_x = -10 + 15 sin(2 pi 0.33 t) N, the periodic-adaptive MPC tracks
+    better than the non-adaptive baseline; the estimator recovers the
+    disturbance frequency."""
+    dist = S.DisturbanceParams.reference((), DTYPE)
+    n = 800
+    c_ad, tr_ad = run("trotting", 0.3, dist,
+                      EstimatorConfig(mode="ls", residual="discrete"), n)
+    c_off, tr_off = run("trotting", 0.3, dist,
+                        EstimatorConfig(freeze_after=10 ** 9), n)
+
+    vx_ad = np.asarray(tr_ad.x)[:, 9]
+    vx_off = np.asarray(tr_off.x)[:, 9]
+    rms_ad = np.sqrt(((vx_ad[500:] - 0.3) ** 2).mean())
+    rms_off = np.sqrt(((vx_off[500:] - 0.3) ** 2).mean())
+    assert rms_ad < 0.65 * rms_off, (rms_ad, rms_off)
+
+    f_hat = float(c_ad.ctrl.est.est_freq)
+    assert abs(f_hat - 0.33) < 0.02
+    amp_hat = float(c_ad.ctrl.est.est_amp)
+    assert 0.8 < amp_hat < 1.8     # true 15/12 = 1.25 m/s^2
+
+
+def test_batched_rollout_matches_single():
+    """A batch axis through the whole closed loop gives per-instance
+    results identical to scalar rollouts."""
+    dist3 = S.DisturbanceParams(
+        static=jnp.asarray([0.0, -10.0, 5.0], DTYPE),
+        amp=jnp.asarray([0.0, 15.0, 7.0], DTYPE),
+        freq=jnp.asarray([0.33, 0.33, 0.5], DTYPE),
+        phase=jnp.asarray([0.0, 0.0, 1.0], DTYPE),
+    )
+    carry_b, tr_b = run("trotting", 0.3, dist3, EstimatorConfig(), 25,
+                        batch=(3,))
+    xb = np.asarray(tr_b.x)
+    assert xb.shape == (3, 25, 13)
+    for i in range(3):
+        dist1 = S.DisturbanceParams(
+            static=dist3.static[i], amp=dist3.amp[i],
+            freq=dist3.freq[i], phase=dist3.phase[i],
+        )
+        _, tr1 = run("trotting", 0.3, dist1, EstimatorConfig(), 25)
+        np.testing.assert_allclose(xb[i], np.asarray(tr1.x), atol=1e-9)

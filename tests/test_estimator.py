@@ -92,24 +92,81 @@ def test_update_lifecycle():
     assert (float(state.est_amp), float(state.est_freq)) == frozen
 
 
-def test_faithful_vs_corrected_compensation():
-    """faithful mode: amp + sin(.); corrected: stat + amp*sin(.)
-    (SolverMPC.cpp:766 vs conventional reconstruction)."""
-    for faithful in [True, False]:
-        cfg = EstimatorConfig(faithful=faithful)
-        state = est.init((), window=cfg.window, dtype=jnp.float64)
-        state = state._replace(
-            count=jnp.asarray(510, jnp.int32),
-            est_amp=jnp.asarray(1.5, jnp.float64),
-            est_freq=jnp.asarray(0.33, jnp.float64),
-            est_phase=jnp.asarray(0.0, jnp.float64),
-            est_stat=jnp.asarray(-0.8, jnp.float64),
-        )
-        t = jnp.asarray(100.0, jnp.float64)
-        state2, f_qp = est.update(state, t, jnp.zeros(6, jnp.float64), cfg)
-        s = np.sin(2 * np.pi * 100.0 * 0.33)
-        expected = 1.5 + s if faithful else -0.8 + 1.5 * s
-        assert abs(float(f_qp[3]) - expected) < 1e-9
+def test_faithful_compensation_formula():
+    """faithful mode: comp = amp + sin(.) (SolverMPC.cpp:766, sic)."""
+    cfg = EstimatorConfig(mode="faithful")
+    state = est.init((), window=cfg.window, dtype=jnp.float64)
+    state = state._replace(
+        count=jnp.asarray(510, jnp.int32),
+        est_amp=jnp.asarray(1.5, jnp.float64),
+        est_freq=jnp.asarray(0.33, jnp.float64),
+        est_phase=jnp.asarray(0.0, jnp.float64),
+        est_stat=jnp.asarray(-0.8, jnp.float64),
+    )
+    t = jnp.asarray(100.0, jnp.float64)
+    state2, f_qp = est.update(state, t, jnp.zeros(6, jnp.float64), cfg)
+    expected = 1.5 + np.sin(2 * np.pi * 100.0 * 0.33)
+    assert abs(float(f_qp[3]) - expected) < 1e-9
+
+
+def test_ls_fit_recovers_amp_phase_offset():
+    """fit_sin_ls (the reference's disabled proper estimator,
+    SolverMPC.cpp:1106-1235): full (amp, phase, offset) recovery, even
+    for off-bin frequencies thanks to parabolic peak refinement."""
+    n = 400
+    t = np.arange(n) * DT + 5.0
+    f_true, amp_true, ph_true, off_true = 0.33, 1.25, 0.7, -0.83
+    y = off_true + amp_true * np.sin(2 * np.pi * f_true * t + ph_true)
+    fit, B, D = est.fit_sin_ls(jnp.asarray(t), jnp.asarray(y))
+    assert abs(float(fit.freq) - f_true) < 0.01
+    assert abs(float(fit.amp) - amp_true) < 0.05
+    assert abs(float(fit.offset) - off_true) < 0.05
+    # reconstruction error over the window
+    w = 2 * np.pi * float(fit.freq)
+    recon = float(fit.offset) + float(B) * np.sin(w * t) + float(D) * np.cos(w * t)
+    assert np.abs(recon - y).max() < 0.12
+
+
+def test_ls_mode_closed_form_tracking():
+    """ls mode converges to a usable compensation signal within the
+    window and keeps refitting (no freeze)."""
+    cfg = EstimatorConfig(mode="ls")
+    state = est.init((), window=cfg.window, dtype=jnp.float64)
+    f_true, amp_true, off_true = 0.33, 1.25, -0.83
+    errs = []
+    for k in range(560):
+        t = k * DT
+        resid = off_true + amp_true * np.sin(2 * np.pi * f_true * t)
+        f_ext = jnp.zeros(6, jnp.float64).at[3].set(resid)
+        state, f_qp = est.update(state, jnp.asarray(t, jnp.float64), f_ext, cfg)
+        if k >= cfg.ls_release:
+            errs.append(abs(float(f_qp[3]) - resid))
+    assert np.mean(errs) < 0.15 * amp_true
+
+
+def test_residual_discrete_recovers_wrench():
+    """residual_discrete inverts the exact Qd channel: integrate one step
+    with a known wrench, recover it to machine precision."""
+    from quad_periodic_mpc_tpu.ops import discretize
+    cfg = MPCConfig()
+    rng = np.random.default_rng(8)
+    rpy = jnp.asarray(rng.uniform(-0.1, 0.1, 3))
+    R = rpy_to_rotmat(rpy)
+    r_feet = jnp.asarray(rng.uniform(-0.3, 0.3, (4, 3)))
+    x_prev = jnp.asarray(rng.uniform(-0.5, 0.5, 13))
+    forces = jnp.asarray(rng.uniform(-20, 20, (4, 3)))
+    w_true = jnp.asarray(rng.uniform(-2, 2, 6))
+    dt = cfg.dt_mpc
+
+    A, B, Qc = srb.ct_dynamics(R, r_feet, cfg.mass, jnp.asarray(cfg.inertia_body), 0.0)
+    Adt, Bdt, Qdt = discretize.nilpotent_zoh(A, B, Qc, dt)
+    x_k = Adt @ x_prev + Bdt @ forces.reshape(12) + Qdt @ w_true
+
+    w_est = est.residual_discrete(
+        x_k, x_prev, forces, R, r_feet, cfg.mass,
+        jnp.asarray(cfg.inertia_body), 0.0, dt,
+    )
+    np.testing.assert_allclose(np.asarray(w_est), np.asarray(w_true), atol=1e-9)
 
 
 def test_residual_recovers_injected_wrench():
