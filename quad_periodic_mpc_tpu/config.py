@@ -71,6 +71,13 @@ class ADMMConfig:
     sigma: float = 1e-6
     over_relax: float = 1.6     # alpha in OSQP notation
     iterations: int = 200
+    # KKT factorization backend: "ns" = Newton-Schulz GEMM inverse
+    # (MXU-native; ~9x faster than XLA's batched Cholesky at n=120) with
+    # one residual-refinement GEMV per ADMM iteration; "cholesky" = exact
+    # factorization (CPU / verification).
+    kkt: str = "ns"
+    ns_iters: int = 30
+    refine: int = 1
     # Constraint-type-dependent rho scaling (OSQP "rho_eq" analog): rows
     # whose bounds pin z (l == u) get rho * eq_scale.
     eq_scale: float = 1e3

@@ -67,10 +67,8 @@ def rho_vector(l: jnp.ndarray, u: jnp.ndarray, cfg: ADMMConfig) -> jnp.ndarray:
     return jnp.where(eq, cfg.rho * cfg.eq_scale, cfg.rho)
 
 
-def build_kkt_inverse(
-    qp: QPData, rho: jnp.ndarray, cfg: ADMMConfig
-) -> jnp.ndarray:
-    """K^{-1} with K = P + sigma I + A^T diag(rho) A, via batched Cholesky.
+def build_kkt(qp: QPData, rho: jnp.ndarray, cfg: ADMMConfig) -> jnp.ndarray:
+    """K = P + sigma I + A^T diag(rho) A.
 
     A^T diag(rho) A = blockdiag_k( F^T diag(rho_k) F ), one 3x3 block per
     foot-step k.
@@ -82,7 +80,16 @@ def build_kkt_inverse(
     # G_k = F^T diag(rho_k) F: (..., k, 3, 3)
     G = jnp.einsum("ca,...kc,cb->...kab", qp.F, rho_blocks, qp.F)
     K = qp.P + cfg.sigma * jnp.eye(n, dtype=qp.P.dtype)
-    K = linalg.add_block_diag(K, G)
+    return linalg.add_block_diag(K, G)
+
+
+def build_kkt_inverse(
+    qp: QPData, rho: jnp.ndarray, cfg: ADMMConfig
+) -> jnp.ndarray:
+    """K^{-1} via the configured backend (see ADMMConfig.kkt)."""
+    K = build_kkt(qp, rho, cfg)
+    if cfg.kkt == "ns":
+        return linalg.ns_inverse(K, cfg.ns_iters)
     return linalg.cho_inverse(linalg.cholesky_factor(K))
 
 
@@ -96,7 +103,11 @@ def solve(
     Fully batched over leading dims of qp; jit/vmap/shard_map safe.
     """
     rho = rho_vector(qp.l, qp.u, cfg)
-    K_inv = build_kkt_inverse(qp, rho, cfg)
+    K = build_kkt(qp, rho, cfg)
+    if cfg.kkt == "ns":
+        K_inv = linalg.ns_inverse(K, cfg.ns_iters)
+    else:
+        K_inv = linalg.cho_inverse(linalg.cholesky_factor(K))
 
     n = qp.P.shape[-1]
     m = qp.l.shape[-1]
@@ -117,6 +128,12 @@ def solve(
         x, z, y = state
         rhs = sigma * x - qp.q + con.apply_T(qp.F, rho * z - y)
         x_t = jnp.einsum("...nm,...m->...n", K_inv, rhs)
+        # iterative refinement: one K-residual correction per iteration
+        # compensates the inexact (Newton-Schulz / f32) inverse so the ADMM
+        # fixed point matches the exact-solve fixed point.
+        for _ in range(cfg.refine):
+            r = rhs - jnp.einsum("...nm,...m->...n", K, x_t)
+            x_t = x_t + jnp.einsum("...nm,...m->...n", K_inv, r)
         x_new = a * x_t + (1.0 - a) * x
         z_t = con.apply(qp.F, x_t)
         z_r = a * z_t + (1.0 - a) * z
