@@ -79,18 +79,24 @@ def main() -> None:
         )
         return ctrl, forces
 
-    step_jit = jax.jit(step, donate_argnums=(0,))
+    # NOTE: no donate_argnums and a host-transferred checksum as the timing
+    # fence — on the axon-tunneled backend, donation corrupts execution and
+    # block_until_ready does not actually block, which silently yields
+    # dispatch-rate (fantasy) numbers.
+    step_jit = jax.jit(step)
 
     def throughput(batch: int) -> float:
         ctrl, obs, cmd, gait, t = make_inputs(batch)
         ctrl, f = step_jit(ctrl, obs, cmd, gait, t)
-        jax.block_until_ready(f)
+        float(jnp.sum(f))                     # hard sync
         n = args.iters
         t0 = time.perf_counter()
         for _ in range(n):
             ctrl, f = step_jit(ctrl, obs, cmd, gait, t)
-        jax.block_until_ready(f)
+        checksum = float(jnp.sum(f))          # chained: forces all n steps
         dt = time.perf_counter() - t0
+        if not np.isfinite(checksum):
+            raise RuntimeError("non-finite checksum")
         return batch * n / dt
 
     if args.batch:
@@ -114,12 +120,12 @@ def main() -> None:
         ctrl, obs, cmd, gait, t = make_inputs(1)
         lat_step = jax.jit(step)
         ctrl2, f = lat_step(ctrl, obs, cmd, gait, t)
-        jax.block_until_ready(f)
+        float(jnp.sum(f))
         lats = []
         for _ in range(100):
             t0 = time.perf_counter()
             _, f = lat_step(ctrl, obs, cmd, gait, t)
-            jax.block_until_ready(f)
+            float(jnp.sum(f))                 # hard sync incl. transfer
             lats.append(time.perf_counter() - t0)
         lats = np.asarray(lats) * 1e3
         print(

@@ -65,18 +65,24 @@ def bounds(
 
 
 def apply(F: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
-    """fmat @ x for x (..., 12h) -> (..., 20h) via the block structure."""
+    """blockdiag(F) @ x via the block structure.
+
+    F is (c, a) (e.g. the 5x3 MPC pyramid or the 6x3 WBIC cone); x is
+    (..., k*a) -> (..., k*c).
+    """
+    c, a = F.shape[-2], F.shape[-1]
     batch = x.shape[:-1]
     n = x.shape[-1]
-    feet = x.reshape(batch + (n // NU_PER_FOOT, NU_PER_FOOT))
+    feet = x.reshape(batch + (n // a, a))
     out = jnp.einsum("ca,...ka->...kc", F, feet)
-    return out.reshape(batch + (n // NU_PER_FOOT * NC_PER_FOOT,))
+    return out.reshape(batch + (n // a * c,))
 
 
 def apply_T(F: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
-    """fmat^T @ y for y (..., 20h) -> (..., 12h)."""
+    """blockdiag(F)^T @ y: (..., k*c) -> (..., k*a)."""
+    c, a = F.shape[-2], F.shape[-1]
     batch = y.shape[:-1]
     m = y.shape[-1]
-    rows = y.reshape(batch + (m // NC_PER_FOOT, NC_PER_FOOT))
+    rows = y.reshape(batch + (m // c, c))
     out = jnp.einsum("ca,...kc->...ka", F, rows)
-    return out.reshape(batch + (m // NC_PER_FOOT * NU_PER_FOOT,))
+    return out.reshape(batch + (m // c * a,))

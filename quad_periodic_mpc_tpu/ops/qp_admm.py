@@ -75,8 +75,8 @@ def build_kkt(qp: QPData, rho: jnp.ndarray, cfg: ADMMConfig) -> jnp.ndarray:
     """
     n = qp.P.shape[-1]
     batch = qp.P.shape[:-2]
-    k = n // con.NU_PER_FOOT
-    rho_blocks = rho.reshape(batch + (k, con.NC_PER_FOOT))
+    k = n // qp.F.shape[-1]
+    rho_blocks = rho.reshape(batch + (k, qp.F.shape[-2]))
     # G_k = F^T diag(rho_k) F: (..., k, 3, 3)
     G = jnp.einsum("ca,...kc,cb->...kab", qp.F, rho_blocks, qp.F)
     K = qp.P + cfg.sigma * jnp.eye(n, dtype=qp.P.dtype)

@@ -47,8 +47,8 @@ def _kkt_solve(qp: QPData, d: jnp.ndarray, rhs: jnp.ndarray, reg) -> jnp.ndarray
     """(P + A^T diag(d) A + reg I) \\ rhs using the block structure."""
     n = qp.P.shape[-1]
     batch = qp.P.shape[:-2]
-    k = n // con.NU_PER_FOOT
-    d_blocks = d.reshape(batch + (k, con.NC_PER_FOOT))
+    k = n // qp.F.shape[-1]
+    d_blocks = d.reshape(batch + (k, qp.F.shape[-2]))
     G = jnp.einsum("ca,...kc,cb->...kab", qp.F, d_blocks, qp.F)
     K = qp.P + jnp.asarray(reg, qp.P.dtype) * jnp.eye(n, dtype=qp.P.dtype)
     K = linalg.add_block_diag(K, G)

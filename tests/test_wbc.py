@@ -1,0 +1,127 @@
+"""WBC tier tests: KinWBC + WBIC physical-consistency checks."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from quad_periodic_mpc_tpu.control import wbc
+from quad_periodic_mpc_tpu.models import floating_base as fb
+from quad_periodic_mpc_tpu.ops.rotations import rpy_to_quat
+
+MC = fb.build_a1_constants("float64")
+
+
+def standing_state(h=0.29):
+    q_stand = np.array([0.0, 0.8, -1.6] * 4)
+    return fb.FBState(
+        quat=rpy_to_quat(jnp.zeros(3)),
+        pos=jnp.asarray([0.0, 0.0, h]),
+        v_body=jnp.zeros(6),
+        q=jnp.asarray(q_stand),
+        qd=jnp.zeros(12),
+    )
+
+
+def make_input(state, contact, fr_des=None, p_foot_des=None):
+    info = fb.contact_jacobians(state, MC)
+    z3 = jnp.zeros(3)
+    if fr_des is None:
+        fr_des = jnp.zeros((4, 3))
+    if p_foot_des is None:
+        p_foot_des = info.p_foot
+    return wbc.WBCInput(
+        p_body_des=state.pos,
+        v_body_des=z3, a_body_des=z3,
+        rpy_des=z3, omega_des=z3,
+        p_foot_des=p_foot_des,
+        v_foot_des=jnp.zeros((4, 3)),
+        a_foot_des=jnp.zeros((4, 3)),
+        fr_des=fr_des,
+        contact_state=jnp.asarray(contact),
+    )
+
+
+def test_standing_equilibrium():
+    """At the desired pose with gravity-balancing Fr_des, WBIC should
+    produce near-zero floating-base dynamics residual and forces ~ mg."""
+    st = standing_state()
+    p = fb.A1ModelParams()
+    m_tot = p.body_mass + 4 * (p.abad_mass + p.hip_mass + p.knee_mass + 3 * p.rotor_mass)
+    fz = m_tot * 9.81 / 4
+    fr_des = jnp.zeros((4, 3)).at[:, 2].set(fz)
+    inp = make_input(st, [1.0, 1.0, 1.0, 1.0], fr_des=fr_des)
+    out = wbc.run(st, inp, MC, gains=wbc.WBCGains(knee_barrier=False))
+
+    fr = np.asarray(out.fr)
+    assert abs(fr[:, 2].sum() - m_tot * 9.81) < 0.1 * m_tot * 9.81
+    # swingless: all feet carry positive normal force
+    assert (fr[:, 2] > 0).all()
+
+    # floating-base dynamics rows satisfied: A qddot + b = Jc^T Fr on rows 0:6
+    A = np.asarray(fb.mass_matrix(st, MC))
+    grav = np.asarray(fb.generalized_gravity(st, MC))
+    cori = np.asarray(fb.generalized_coriolis(st, MC))
+    info = fb.contact_jacobians(st, MC)
+    Jc = np.asarray(info.Jc).reshape(12, 18)
+    # recompute qddot from tau: full dynamics rows 6:18 give
+    # tau = (A qddot + b - Jc^T F)[6:] — check the implied residual rows 0:6
+    # by solving for qddot from all 18 rows:
+    tau_full = np.concatenate([np.zeros(6), np.asarray(out.tau_ff).ravel()])
+    rhs = tau_full + Jc.T @ fr.reshape(12) - (cori + grav)
+    qddot = np.linalg.solve(A, rhs)
+    # joint rows must be ~exactly consistent; base rows absorb the QP's
+    # W_floating=0.1 relaxation (a few rad/s^2 is the correct tradeoff,
+    # the asymmetric stance creates a pitch moment at equal fz)
+    assert np.abs(qddot[6:]).max() < 1e-6
+    assert np.abs(qddot[:6]).max() < 5.0
+
+
+def test_swing_foot_force_zero_and_task_tracking():
+    st = standing_state()
+    info = fb.contact_jacobians(st, MC)
+    target = np.asarray(info.p_foot).copy()
+    target[0] += np.array([0.05, 0.0, 0.04])    # move FR foot
+    p = fb.A1ModelParams()
+    m_tot = p.body_mass + 4 * (p.abad_mass + p.hip_mass + p.knee_mass + 3 * p.rotor_mass)
+    fz = m_tot * 9.81 / 3
+    fr_des = jnp.zeros((4, 3)).at[1:, 2].set(fz)
+    inp = make_input(st, [0.0, 1.0, 1.0, 1.0], fr_des=fr_des,
+                     p_foot_des=jnp.asarray(target))
+    out = wbc.run(st, inp, MC)
+
+    fr = np.asarray(out.fr)
+    np.testing.assert_allclose(fr[0], 0.0, atol=1e-6)   # swing foot: no force
+    assert (fr[1:, 2] > 0).all()
+
+    # KinWBC joint command moves the swing foot toward the target
+    st2 = st._replace(q=out.q_des.reshape(12))
+    info2 = fb.contact_jacobians(st2, MC)
+    d_before = np.linalg.norm(np.asarray(info.p_foot)[0] - target[0])
+    d_after = np.linalg.norm(np.asarray(info2.p_foot)[0] - target[0])
+    assert d_after < 0.4 * d_before
+
+
+def test_body_height_task_direction():
+    """Desired body 2cm higher -> KinWBC commands legs to extend
+    (feet move down relative to body => knee/hip adjust)."""
+    st = standing_state()
+    inp = make_input(st, [1.0] * 4)
+    inp = inp._replace(p_body_des=st.pos + jnp.asarray([0.0, 0.0, 0.02]))
+    out = wbc.run(st, inp, MC)
+    # stance feet stationary; body must rise via joint change: the
+    # commanded joint config, applied with feet pinned, raises the base.
+    # Equivalent check: des_jpos differs from current q meaningfully
+    dq = np.asarray(out.q_des).reshape(12) - np.asarray(st.q)
+    assert 1e-4 < np.abs(dq).max() < 0.2
+
+
+def test_batched_wbc():
+    st = standing_state()
+    B = 3
+    stb = fb.FBState(*[jnp.broadcast_to(x, (B,) + x.shape) for x in st])
+    inp = make_input(st, [1.0] * 4)
+    inpb = wbc.WBCInput(*[jnp.broadcast_to(x, (B,) + x.shape) for x in inp])
+    out_b = wbc.run(stb, inpb, MC)
+    out_1 = wbc.run(st, inp, MC)
+    np.testing.assert_allclose(
+        np.asarray(out_b.tau_ff[1]), np.asarray(out_1.tau_ff), atol=1e-8
+    )
