@@ -1,0 +1,143 @@
+"""Sharded Monte-Carlo sweep runner.
+
+Implements the BASELINE.json scaling configs as first-class harnesses:
+- config 3: gait sweep (trot/bound/pace/gallop x phase offsets), 1k+ QPs
+  batched per chip;
+- config 4: disturbance-hypothesis sweep (static x amp x freq x phase),
+  10k scenarios;
+- config 5: multi-host gait x disturbance Monte-Carlo, instances sharded
+  over the full device mesh (DCN across hosts via jax.distributed).
+
+A sweep = (scenario axes -> batched closed-loop rollout -> per-instance
+metrics -> collective reductions).  The reduction (mean/percentile
+tracking error, best-hypothesis argmin) rides XLA collectives inserted by
+sharding propagation — the rebuild's psum/all-gather analog of the
+reference's ROS-topic aggregation (SURVEY.md section 2.4).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from quad_periodic_mpc_tpu.config import (
+    ADMMConfig, EstimatorConfig, LoopConfig, MPCConfig, PDIPConfig,
+)
+from quad_periodic_mpc_tpu.control import loop as loop_mod
+from quad_periodic_mpc_tpu.control import mpc as mpc_mod
+from quad_periodic_mpc_tpu.ops import gait as gait_ops
+from quad_periodic_mpc_tpu.parallel import mesh as mesh_lib
+from quad_periodic_mpc_tpu.sim import srb_sim
+
+
+class SweepSpec(NamedTuple):
+    """Cartesian scenario axes; total batch = product of axis lengths."""
+
+    gait_names: tuple = ("trotting", "bounding", "pacing", "galloping")
+    phase_offsets: int = 4            # initial gait-phase shifts
+    dist_static: tuple = (-10.0,)     # N
+    dist_amp: tuple = (15.0,)         # N
+    dist_freq: tuple = (0.33,)        # Hz
+    dist_phase: tuple = (0.0,)        # rad
+    vx: float = 0.3
+
+    @property
+    def size(self) -> int:
+        return (
+            len(self.gait_names) * self.phase_offsets * len(self.dist_static)
+            * len(self.dist_amp) * len(self.dist_freq) * len(self.dist_phase)
+        )
+
+
+class SweepResult(NamedTuple):
+    vx_rms: jnp.ndarray          # (B,) per-instance tracking error
+    height_rms: jnp.ndarray      # (B,)
+    mean_vx_rms: jnp.ndarray     # () cross-device mean
+    best_instance: jnp.ndarray   # () argmin of vx_rms
+    batch: int
+
+
+def build_scenarios(spec: SweepSpec, dtype=jnp.float32):
+    """Expand the spec into batched (gait, phase-iteration, disturbance)."""
+    import itertools
+
+    gaits, iters = [], []
+    dist_s, dist_a, dist_f, dist_p = [], [], [], []
+    period_iters = 13 * gait_ops.DEFAULT_PERIOD
+    for name, ph, ds, da, df, dp in itertools.product(
+        spec.gait_names, range(spec.phase_offsets), spec.dist_static,
+        spec.dist_amp, spec.dist_freq, spec.dist_phase,
+    ):
+        off, dur = gait_ops.PRESET_GAITS[name]
+        gaits.append((off, dur))
+        iters.append((ph * period_iters) // spec.phase_offsets)
+        dist_s.append(ds); dist_a.append(da); dist_f.append(df); dist_p.append(dp)
+
+    off = jnp.asarray([g[0] for g in gaits], jnp.int32)
+    dur = jnp.asarray([g[1] for g in gaits], jnp.int32)
+    gait = gait_ops.GaitParams(
+        offsets=off, durations=dur,
+        n_segments=jnp.full((len(gaits),), gait_ops.DEFAULT_PERIOD, jnp.int32),
+    )
+    dist = srb_sim.DisturbanceParams(
+        static=jnp.asarray(dist_s, dtype), amp=jnp.asarray(dist_a, dtype),
+        freq=jnp.asarray(dist_f, dtype), phase=jnp.asarray(dist_p, dtype),
+    )
+    return gait, jnp.asarray(iters, jnp.int32), dist
+
+
+def run_sweep(
+    spec: SweepSpec,
+    n_mpc_steps: int = 100,
+    mesh: "jax.sharding.Mesh | None" = None,
+    mpc_cfg: MPCConfig = MPCConfig(horizon=10),
+    loop_cfg: LoopConfig = LoopConfig(),
+    est_cfg: EstimatorConfig = EstimatorConfig(mode="ls", residual="discrete"),
+    solver=ADMMConfig(iterations=100),
+    dtype=jnp.float32,
+) -> SweepResult:
+    """Roll out every scenario in lockstep, sharded over the mesh."""
+    gait, iters, dist = build_scenarios(spec, dtype)
+    B = spec.size
+    batch = (B,)
+
+    plant = srb_sim.init_plant(batch, body_height=0.29, dtype=dtype)
+    obs = srb_sim.observe(plant)
+    ctrl = mpc_mod.init_state(batch, obs, dtype=dtype)
+    ctrl = ctrl._replace(iteration=iters)
+    cmd = mpc_mod.Command(
+        vx=jnp.full(batch, spec.vx, dtype),
+        vy=jnp.zeros(batch, dtype),
+        yaw_rate=jnp.zeros(batch, dtype),
+        body_height=jnp.full(batch, 0.29, dtype),
+    )
+
+    if mesh is not None:
+        plant, ctrl, cmd, gait, dist = mesh_lib.shard_batch(
+            (plant, ctrl, cmd, gait, dist), mesh
+        )
+
+    def go(plant, ctrl, cmd, gait, dist):
+        carry, trace = loop_mod.rollout(
+            n_mpc_steps, plant, ctrl, cmd, gait, dist, mpc_cfg, loop_cfg,
+            est_cfg, solver,
+        )
+        vx = trace.x[..., 9]
+        half = vx.shape[-1] // 2
+        vx_rms = jnp.sqrt(jnp.mean((vx[..., half:] - cmd.vx[..., None]) ** 2, -1))
+        z = trace.x[..., 5]
+        height_rms = jnp.sqrt(
+            jnp.mean((z[..., half:] - cmd.body_height[..., None]) ** 2, -1)
+        )
+        return vx_rms, height_rms, jnp.mean(vx_rms), jnp.argmin(vx_rms)
+
+    vx_rms, height_rms, mean_rms, best = jax.jit(go)(
+        plant, ctrl, cmd, gait, dist
+    )
+    return SweepResult(
+        vx_rms=vx_rms, height_rms=height_rms, mean_vx_rms=mean_rms,
+        best_instance=best, batch=B,
+    )
