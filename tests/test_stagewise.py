@@ -1,0 +1,97 @@
+"""Stage-wise Riccati-ADMM solver vs the condensed QP (must agree)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from quad_periodic_mpc_tpu.config import ADMMConfig, MPCConfig, PDIPConfig
+from quad_periodic_mpc_tpu.ops import condense, constraints, gait as gait_ops
+from quad_periodic_mpc_tpu.ops import problem, qp_pdip, qp_stagewise
+from quad_periodic_mpc_tpu.ops.rotations import rpy_to_quat
+
+RNG = np.random.default_rng(4)
+
+
+def make_problems(horizon, seed=0, gait_name="trotting"):
+    rng = np.random.default_rng(seed)
+    cfg = MPCConfig(horizon=horizon)
+    rpy = rng.uniform(-0.1, 0.1, 3)
+    quat = np.asarray(rpy_to_quat(jnp.asarray(rpy)))
+    hips = np.array(
+        [[0.18, -0.13, -0.27], [0.18, 0.13, -0.27],
+         [-0.18, -0.13, -0.27], [-0.18, 0.13, -0.27]]
+    )
+    obs = problem.RobotObs(
+        p=jnp.asarray([0.0, 0.0, 0.27]),
+        v=jnp.asarray(rng.uniform(-0.3, 0.3, 3)),
+        quat=jnp.asarray(quat),
+        omega=jnp.asarray(rng.uniform(-0.2, 0.2, 3)),
+        r_feet=jnp.asarray(hips + rng.uniform(-0.02, 0.02, (4, 3))),
+    )
+    xref = np.zeros((horizon, 13))
+    xref[:, 5] = 0.29
+    g = gait_ops.preset(gait_name)
+    table = gait_ops.mpc_table(g, jnp.asarray(0), horizon)
+    f_est = jnp.asarray(rng.uniform(-1, 1, 6))
+
+    qp, pred, x0 = problem.build_qp(obs, jnp.asarray(xref), table, cfg, f_est=f_est)
+
+    l, u = constraints.bounds(table, cfg.f_max, cfg.big_number)
+    sw = qp_stagewise.StagewiseProblem(
+        Ad=pred.Adt, Bd=pred.Bdt,
+        c=(pred.Qdt @ f_est[..., None])[..., 0],
+        x0=x0,
+        x_ref=jnp.asarray(xref),
+        Q=2.0 * condense.full_weight(jnp.asarray(cfg.weights, jnp.float64)),
+        R=2.0 * cfg.alpha * jnp.ones(12, jnp.float64),
+        F=qp.F,
+        l=l.reshape(horizon, 20),
+        u=jnp.minimum(u, 1e4).reshape(horizon, 20),
+    )
+    return qp, sw, cfg, np.asarray(table)
+
+
+def test_lqr_matches_unconstrained_condensed():
+    """With constraints off (huge bounds), one Riccati solve must equal the
+    unconstrained minimizer of the condensed QP: -qH^{-1} qg."""
+    qp, sw, cfg, _ = make_problems(horizon=8, seed=2)
+    h = cfg.horizon
+    # remove constraints entirely
+    U = qp_stagewise.lqr_solve(
+        sw, jnp.zeros((3, 3), jnp.float64), jnp.zeros((h, 12), jnp.float64)
+    )
+    u_cond = np.linalg.solve(np.asarray(qp.P), -np.asarray(qp.q))
+    np.testing.assert_allclose(
+        np.asarray(U).reshape(-1), u_cond, atol=1e-7
+    )
+
+
+@pytest.mark.parametrize("horizon", [8, 16])
+def test_stagewise_admm_matches_condensed_pdip(horizon):
+    qp, sw, cfg, table = make_problems(horizon=horizon, seed=3)
+    x_cond, _ = qp_pdip.solve(qp, PDIPConfig(iterations=40))
+    U, _ = qp_stagewise.solve(sw, ADMMConfig(iterations=300))
+    np.testing.assert_allclose(
+        np.asarray(U).reshape(-1), np.asarray(x_cond), atol=5e-2
+    )
+    # swing feet pinned
+    forces = np.asarray(U).reshape(horizon, 4, 3)
+    swing = table.reshape(horizon, 4) == 0
+    assert np.abs(forces[swing]).max() < 1e-3
+
+
+def test_long_horizon_runs():
+    """Horizons beyond the reference's hard cap of 19 (SolverMPC.cpp:113)
+    are first-class here."""
+    qp, sw, cfg, _ = make_problems(horizon=16, seed=5)
+    # stretch the same problem to h=48 by tiling the reference trajectory
+    h = 48
+    reps = h // 16
+    sw_long = sw._replace(
+        x_ref=jnp.tile(sw.x_ref, (reps, 1)),
+        l=jnp.tile(sw.l, (reps, 1)),
+        u=jnp.tile(sw.u, (reps, 1)),
+    )
+    U, _ = qp_stagewise.solve(sw_long, ADMMConfig(iterations=100))
+    assert U.shape == (h, 12)
+    assert np.isfinite(np.asarray(U)).all()
