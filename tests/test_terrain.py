@@ -1,0 +1,108 @@
+"""Terrain tier tests: Kalman height fusion + spiral foothold selection."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from quad_periodic_mpc_tpu.ops import gait_scheduler as gs
+from quad_periodic_mpc_tpu.terrain import heightmap as hmap
+
+
+def test_fuse_points_kalman():
+    hm = hmap.create(size=16, resolution=0.05, init_variance=100.0,
+                     dtype=jnp.float64)
+    # two measurements of the same cell combine precision-weighted
+    pt = jnp.asarray([[0.1, 0.1, 0.5], [0.1, 0.1, 0.7]])
+    var = jnp.asarray([0.01, 0.01])
+    hm2 = hmap.fuse_points(hm, pt, var)
+    idx = hmap.world_to_index(hm, pt[0:1, 0:2])[0]
+    h = float(hm2.elevation[idx[0], idx[1]])
+    v = float(hm2.variance[idx[0], idx[1]])
+    # prior is nearly uninformative -> ~mean of the two, var ~ 0.005
+    assert abs(h - 0.6) < 1e-3
+    assert abs(v - 0.005) < 1e-3
+    # untouched cells unchanged
+    assert float(hm2.variance[0, 0]) == 100.0
+
+
+def test_fuse_convergence():
+    hm = hmap.create(size=8, resolution=0.1, init_variance=1e4, dtype=jnp.float64)
+    for _ in range(20):
+        hm = hmap.fuse_points(
+            hm, jnp.asarray([[0.0, 0.0, 0.25]]), jnp.asarray([0.02])
+        )
+        hm = hmap.predict(hm, 1e-5)
+    idx = hmap.world_to_index(hm, jnp.asarray([0.0, 0.0]))
+    assert abs(float(hm.elevation[idx[0], idx[1]]) - 0.25) < 1e-3
+
+
+def test_select_foothold_snaps_to_traversable():
+    hm = hmap.create(size=32, resolution=0.02, dtype=jnp.float64)
+    hm = hm._replace(elevation=jnp.full((32, 32), 0.12, jnp.float64))
+    # make the target cell untraversable; nearest traversable is adjacent
+    pf = jnp.asarray([0.0, 0.0, 0.0])
+    idx = hmap.world_to_index(hm, pf[0:2])
+    trav = jnp.ones((32, 32), jnp.float64)
+    trav = trav.at[idx[0], idx[1]].set(0.0)
+    hm = hm._replace(traversability=trav)
+    out = hmap.select_foothold(hm, pf)
+    # z picked from the map; xy moved at most one cell
+    assert abs(float(out[2]) - 0.12) < 1e-9
+    assert abs(float(out[0]) - pf[0]) <= 0.02 + 1e-9
+    assert abs(float(out[1]) - pf[1]) <= 0.02 + 1e-9
+    out_idx = hmap.world_to_index(hm, out[0:2])
+    assert float(hm.traversability[out_idx[0], out_idx[1]]) > 0.8
+
+
+def test_select_foothold_batched():
+    hm = hmap.create(size=32, resolution=0.02, batch=(3,), dtype=jnp.float64)
+    pf = jnp.asarray([[0.05, 0.0, 0.0], [0.0, 0.05, 0.0], [0.0, 0.0, 0.0]])
+    out = hmap.select_foothold(hm, pf)
+    assert out.shape == (3, 3)
+    np.testing.assert_allclose(np.asarray(out[..., 2]), 0.0, atol=1e-9)
+
+
+def test_gait_scheduler_trot_timing():
+    prm = gs.params("trot", jnp.float64)
+    st = gs.init(prm)
+    dt = 0.002
+    contacts = []
+    for _ in range(int(0.5 / dt)):        # one full 0.5 s period
+        st, out = gs.step(st, prm, dt)
+        contacts.append(np.asarray(out.contact))
+    contacts = np.stack(contacts)
+    # diagonal pairs alternate with 50% duty
+    duty = contacts.mean(axis=0)
+    np.testing.assert_allclose(duty, 0.5, atol=0.02)
+    np.testing.assert_allclose(contacts[:, 0], contacts[:, 3])
+    np.testing.assert_allclose(contacts[:, 1], contacts[:, 2])
+    assert (contacts[:, 0] + contacts[:, 1] == 1).all()
+    # exactly one touchdown per leg per period
+    st2 = gs.init(prm)
+    tds = np.zeros(4)
+    for _ in range(int(0.5 / dt)):
+        st2, out = gs.step(st2, prm, dt)
+        tds += np.asarray(out.touchdown)
+    np.testing.assert_allclose(tds, 1.0)
+
+
+def test_gait_scheduler_three_foot():
+    prm = gs.params("three_foot", jnp.float64)
+    st = gs.init(prm)
+    for _ in range(100):
+        st, out = gs.step(st, prm, 0.002)
+        assert float(out.contact[0]) == 0.0   # disabled leg never contacts
+
+
+def test_early_contact_handle():
+    off = jnp.asarray([0.0, 0.5, 0.5, 0.0])
+    dur = jnp.asarray([0.5, 0.5, 0.5, 0.5])
+    swing = jnp.asarray([0.9, 0.2, 0.0, 0.0])   # leg 0 late in swing
+    sensor = jnp.asarray([1.0, 1.0, 0.0, 0.0])
+    phase = jnp.asarray(0.9)
+    off2, dur2 = gs.early_contact_handle(off, dur, swing, phase, sensor,
+                                         jnp.asarray(16))
+    # leg 0: diff = (0.0 - 0.9) + 1 = 0.1 -> offset shrinks, duration grows
+    assert abs(float(off2[0]) - (0.0 - 0.1 * 1.0001)) < 1e-6
+    assert abs(float(dur2[0]) - 0.6) < 1e-6
+    # leg 1: touched but early in swing -> unchanged
+    assert float(off2[1]) == 0.5 and float(dur2[1]) == 0.5
