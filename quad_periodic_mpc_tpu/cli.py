@@ -1,0 +1,155 @@
+"""Command-line interface: rollout / sweep / parity / bench.
+
+The rebuild's operational surface (the reference drives everything
+through roslaunch + rqt_reconfigure; here: one typed CLI).
+
+  python -m quad_periodic_mpc_tpu rollout --steps 200 --gait trotting
+  python -m quad_periodic_mpc_tpu sweep --mpc-steps 100
+  python -m quad_periodic_mpc_tpu parity --horizon 10
+  python -m quad_periodic_mpc_tpu bench ...   (same flags as bench.py)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def cmd_rollout(args) -> None:
+    import jax.numpy as jnp
+    import numpy as np
+
+    from quad_periodic_mpc_tpu.config import (
+        ADMMConfig, EstimatorConfig, LoopConfig, MPCConfig, PDIPConfig,
+    )
+    from quad_periodic_mpc_tpu.control import loop as L
+    from quad_periodic_mpc_tpu.control import mpc as M
+    from quad_periodic_mpc_tpu.ops import gait as G
+    from quad_periodic_mpc_tpu.sim import srb_sim as S
+
+    dtype = jnp.float64 if args.f64 else jnp.float32
+    mpc_cfg = MPCConfig(horizon=args.horizon)
+    loop_cfg = LoopConfig()
+    est_cfg = EstimatorConfig(
+        mode=args.estimator, residual="discrete" if args.estimator == "ls"
+        else "reference",
+    )
+    solver = (
+        PDIPConfig(iterations=25) if args.solver == "pdip"
+        else ADMMConfig(iterations=args.solver_iters)
+    )
+
+    plant = S.init_plant((), body_height=0.29, dtype=dtype)
+    obs = S.observe(plant)
+    ctrl = M.init_state((), obs, dtype=dtype)
+    cmd = M.Command(
+        vx=jnp.asarray(args.vx, dtype), vy=jnp.asarray(0.0, dtype),
+        yaw_rate=jnp.asarray(args.yaw_rate, dtype),
+        body_height=jnp.asarray(0.29, dtype),
+    )
+    gait = G.preset(args.gait)
+    dist = (
+        S.DisturbanceParams.reference((), dtype) if args.disturbance
+        else S.DisturbanceParams.zero((), dtype)
+    )
+    carry, tr = L.rollout(
+        args.steps, plant, ctrl, cmd, gait, dist, mpc_cfg, loop_cfg,
+        est_cfg, solver,
+    )
+    x = np.asarray(tr.x)
+    vx = x[:, 9]
+    out = {
+        "steps": args.steps,
+        "gait": args.gait,
+        "final_pos": x[-1, 3:6].tolist(),
+        "vx_mean": float(vx[args.steps // 3:].mean()),
+        "vx_rms_err": float(np.sqrt(((vx[args.steps // 3:] - args.vx) ** 2).mean())),
+        "height_final": float(x[-1, 5]),
+        "est_freq": float(carry.ctrl.est.est_freq),
+        "est_amp": float(carry.ctrl.est.est_amp),
+    }
+    print(json.dumps(out, indent=2))
+
+
+def cmd_sweep(args) -> None:
+    from quad_periodic_mpc_tpu.parallel import mesh as mesh_lib
+    from quad_periodic_mpc_tpu.parallel.sweep import SweepSpec, run_sweep
+
+    spec = SweepSpec(phase_offsets=args.phase_offsets)
+    mesh = mesh_lib.make_mesh() if args.shard else None
+    res = run_sweep(spec, n_mpc_steps=args.mpc_steps, mesh=mesh)
+    import numpy as np
+
+    print(json.dumps({
+        "instances": res.batch,
+        "mean_vx_rms": float(res.mean_vx_rms),
+        "best_instance": int(res.best_instance),
+        "vx_rms_p50": float(np.percentile(np.asarray(res.vx_rms), 50)),
+        "vx_rms_p95": float(np.percentile(np.asarray(res.vx_rms), 95)),
+    }, indent=2))
+
+
+def cmd_parity(args) -> None:
+    """Cross-solver parity report on a standard problem set."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    sys.path.insert(0, ".")
+    from quad_periodic_mpc_tpu.config import ADMMConfig, PDIPConfig
+    from quad_periodic_mpc_tpu.ops import qp_admm, qp_pdip
+
+    from tests.test_qp import make_mpc_qp  # standard fixture set
+
+    rows = []
+    for seed in range(args.problems):
+        qp, cfg, _ = make_mpc_qp(horizon=args.horizon, seed=seed)
+        x_ref, _ = qp_pdip.solve(qp, PDIPConfig(iterations=40))
+        x_admm, st = qp_admm.solve(qp, ADMMConfig(iterations=args.admm_iters))
+        res = qp_admm.kkt_residuals(qp, x_admm, st.z, st.y)
+        rows.append({
+            "seed": seed,
+            "admm_vs_pdip_max": float(jnp.max(jnp.abs(x_admm - x_ref))),
+            "primal": float(res["primal"]),
+            "dual": float(res["dual"]),
+        })
+    worst = max(r["admm_vs_pdip_max"] for r in rows)
+    print(json.dumps({"horizon": args.horizon, "worst_force_diff_N": worst,
+                      "rows": rows}, indent=2))
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser(prog="quad_periodic_mpc_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    r = sub.add_parser("rollout", help="closed-loop SRB rollout")
+    r.add_argument("--steps", type=int, default=200)
+    r.add_argument("--gait", default="trotting")
+    r.add_argument("--vx", type=float, default=0.3)
+    r.add_argument("--yaw-rate", type=float, default=0.0)
+    r.add_argument("--horizon", type=int, default=10)
+    r.add_argument("--disturbance", action="store_true")
+    r.add_argument("--estimator", choices=["faithful", "ls"], default="ls")
+    r.add_argument("--solver", choices=["admm", "pdip"], default="pdip")
+    r.add_argument("--solver-iters", type=int, default=200)
+    r.add_argument("--f64", action="store_true")
+    r.set_defaults(fn=cmd_rollout)
+
+    s = sub.add_parser("sweep", help="gait x disturbance Monte-Carlo sweep")
+    s.add_argument("--mpc-steps", type=int, default=100)
+    s.add_argument("--phase-offsets", type=int, default=4)
+    s.add_argument("--shard", action="store_true")
+    s.set_defaults(fn=cmd_sweep)
+
+    p = sub.add_parser("parity", help="cross-solver parity report")
+    p.add_argument("--horizon", type=int, default=10)
+    p.add_argument("--problems", type=int, default=5)
+    p.add_argument("--admm-iters", type=int, default=200)
+    p.set_defaults(fn=cmd_parity)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()
