@@ -59,7 +59,7 @@ def main() -> None:
     def make_inputs(batch: int):
         plant = S.init_plant((batch,), body_height=0.29, dtype=dtype)
         obs = S.observe(plant)
-        ctrl = M.init_state((batch,), obs, dtype=dtype)
+        ctrl = M.init_state((batch,), obs, dtype=dtype, horizon=args.horizon)
         # spread gait phase across the batch (gait-phase sweep axis)
         ctrl = ctrl._replace(
             iteration=(jnp.arange(batch, dtype=jnp.int32) * 7) % 208

@@ -42,7 +42,7 @@ def cmd_rollout(args) -> None:
 
     plant = S.init_plant((), body_height=0.29, dtype=dtype)
     obs = S.observe(plant)
-    ctrl = M.init_state((), obs, dtype=dtype)
+    ctrl = M.init_state((), obs, dtype=dtype, horizon=args.horizon)
     cmd = M.Command(
         vx=jnp.asarray(args.vx, dtype), vy=jnp.asarray(0.0, dtype),
         yaw_rate=jnp.asarray(args.yaw_rate, dtype),

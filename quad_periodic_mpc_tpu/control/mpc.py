@@ -88,6 +88,14 @@ class ControllerState(NamedTuple):
     prev_r_feet: jnp.ndarray           # (..., 4, 3)
     prev_x_drag: jnp.ndarray           # (...,)
     have_prev: jnp.ndarray             # (...,) bool
+    # ADMM warm-start carry (x, z, y) across MPC steps — successive QPs
+    # differ only by one gait-table shift plus state drift, so warm solves
+    # need ~4x fewer iterations (qpOASES gets the same effect from its
+    # active-set hotstart).  Shapes fixed by the horizon given to
+    # init_state; ignored by the PDIP backend.
+    warm_x: jnp.ndarray                # (..., 12h)
+    warm_z: jnp.ndarray                # (..., 20h)
+    warm_y: jnp.ndarray                # (..., 20h)
 
 
 class ControlOutput(NamedTuple):
@@ -107,6 +115,7 @@ def init_state(
     obs: Observation,
     window: int = 400,
     dtype=jnp.float32,
+    horizon: int = 10,
 ) -> ControllerState:
     """firstRun initialization (ConvexMPCLocomotion.cpp:249-274)."""
     z = lambda *s: jnp.zeros(batch + s, dtype)
@@ -130,6 +139,9 @@ def init_state(
         prev_r_feet=z(4, 3),
         prev_x_drag=z(),
         have_prev=jnp.zeros(batch, bool),
+        warm_x=z(12 * horizon),
+        warm_z=z(20 * horizon),
+        warm_y=z(20 * horizon),
     )
 
 
@@ -279,7 +291,13 @@ def mpc_step(
         qp_obs, x_ref, table, mpc, f_est=f_for_qp, x_drag=x_comp
     )
     if isinstance(solver, ADMMConfig):
-        u_sol, _ = qp_admm.solve(qp, solver)
+        warm = qp_admm.ADMMState(
+            x=state.warm_x, z=state.warm_z, y=state.warm_y
+        )
+        u_sol, warm_out = qp_admm.solve(qp, solver, warm=warm)
+        state = state._replace(
+            warm_x=warm_out.x, warm_z=warm_out.z, warm_y=warm_out.y
+        )
     else:
         u_sol, _ = qp_pdip.solve(qp, solver)
 

@@ -23,7 +23,7 @@ def _batched_inputs(batch):
     dtype = jnp.float32
     plant = S.init_plant((batch,), body_height=0.29, dtype=dtype)
     obs = S.observe(plant)
-    ctrl = M.init_state((batch,), obs, dtype=dtype)
+    ctrl = M.init_state((batch,), obs, dtype=dtype, horizon=5)
     cmd = M.Command(
         vx=jnp.full((batch,), 0.3, dtype),
         vy=jnp.zeros((batch,), dtype),
