@@ -77,6 +77,10 @@ class ADMMConfig:
     # factorization (CPU / verification).
     kkt: str = "ns"
     ns_iters: int = 30
+    # Adaptive NS termination: with a carried warm K^{-1} the while_loop
+    # exits once max-batch ||I - XK||_inf < ns_tol (~3-6 rounds in steady
+    # state); a cold start runs up to ns_iters.
+    ns_tol: float = 0.01
     refine: int = 1
     # Constraint-type-dependent rho scaling (OSQP "rho_eq" analog): rows
     # whose bounds pin z (l == u) get rho * eq_scale.

@@ -96,6 +96,7 @@ class ControllerState(NamedTuple):
     warm_x: jnp.ndarray                # (..., 12h)
     warm_z: jnp.ndarray                # (..., 20h)
     warm_y: jnp.ndarray                # (..., 20h)
+    warm_kinv: jnp.ndarray             # (..., 12h, 12h) carried K^{-1}
 
 
 class ControlOutput(NamedTuple):
@@ -142,6 +143,7 @@ def init_state(
         warm_x=z(12 * horizon),
         warm_z=z(20 * horizon),
         warm_y=z(20 * horizon),
+        warm_kinv=z(12 * horizon, 12 * horizon),
     )
 
 
@@ -292,11 +294,13 @@ def mpc_step(
     )
     if isinstance(solver, ADMMConfig):
         warm = qp_admm.ADMMState(
-            x=state.warm_x, z=state.warm_z, y=state.warm_y
+            x=state.warm_x, z=state.warm_z, y=state.warm_y,
+            kinv=state.warm_kinv,
         )
         u_sol, warm_out = qp_admm.solve(qp, solver, warm=warm)
         state = state._replace(
-            warm_x=warm_out.x, warm_z=warm_out.z, warm_y=warm_out.y
+            warm_x=warm_out.x, warm_z=warm_out.z, warm_y=warm_out.y,
+            warm_kinv=warm_out.kinv,
         )
     else:
         u_sol, _ = qp_pdip.solve(qp, solver)

@@ -44,30 +44,53 @@ def ns_inverse(
     K: jnp.ndarray,
     iters: int = 30,
     X0: jnp.ndarray | None = None,
+    tol: float | None = None,
 ) -> jnp.ndarray:
     """Newton-Schulz iteration for K^{-1} of a symmetric PD batch.
 
-    X_{k+1} = X_k (2I - K X_k), X_0 = K / (||K||_1 ||K||_inf) — pure
-    batched GEMMs, the MXU-native replacement for XLA's slow small-batch
-    Cholesky + triangular solves (measured 9x faster at batch 2048,
-    n = 120 on v5e).  Converges quadratically once ||I - XK|| < 1; the
-    scaled-transpose init guarantees contraction for any SPD K.  Residual
-    after `iters` is ~(1 - 1/cond^2)^(2^j)-shaped: use ~30 cold, or pass
-    the previous step's inverse as X0 for 3-6 warm iterations in
-    closed-loop/MPC usage.
+    X_{k+1} = X_k (2I - K X_k) — pure batched GEMMs, the MXU-native
+    replacement for XLA's slow small-batch Cholesky + triangular solves
+    (~10.5 TF/s vs 0.04 TF/s at batch 2048, n = 120 on v5e).  Converges
+    quadratically once ||I - XK|| < 1; the default seed I / ||K||_inf
+    contracts from the start for any SPD K.
+
+    A warm X0 (previous control step's inverse) is guarded per instance:
+    non-contractive seeds fall back to the cold seed.  With tol set, the
+    loop becomes a while_loop that exits as soon as the WORST batch
+    residual max_b ||I - X K||_inf < tol — warm steady-state solves exit
+    in ~3-6 rounds while a cold start runs up to `iters`; the residual is
+    a free byproduct of the NS update itself.
     """
     n = K.shape[-1]
     eye = jnp.eye(n, dtype=K.dtype)
+    norminf = jnp.max(jnp.sum(jnp.abs(K), axis=-1), axis=-1)
+    X_cold = jnp.broadcast_to(eye, K.shape) / norminf[..., None, None]
     if X0 is None:
-        # X0 = I / ||K||_inf: spectrum of X0 K lies in (0, 1], giving
-        # contraction from the start with ~log2(cond) fewer iterations
-        # than the K/(||K||_1 ||K||_inf) seed.
-        norminf = jnp.max(jnp.sum(jnp.abs(K), axis=-1), axis=-1)
-        X0 = eye / norminf[..., None, None]
+        X0 = X_cold
+    else:
+        R = eye - X0 @ K
+        r = jnp.max(jnp.sum(jnp.abs(R), axis=-1), axis=-1)
+        X0 = jnp.where((r < 0.9)[..., None, None], X0, X_cold)
 
-    def body(X, _):
-        X = X @ (2.0 * eye - K @ X)
-        return X, None
+    if tol is None:
+        def body(X, _):
+            return X @ (2.0 * eye - K @ X), None
 
-    X, _ = jax.lax.scan(body, X0, None, length=iters)
+        X, _ = jax.lax.scan(body, X0, None, length=iters)
+        return X
+
+    def cond(carry):
+        _, r, k = carry
+        return (r > tol) & (k < iters)
+
+    def body(carry):
+        X, _, k = carry
+        Y = K @ X
+        r = jnp.max(jnp.sum(jnp.abs(eye - Y), axis=-1))   # worst inf-norm
+        X = X @ (2.0 * eye - Y)
+        return X, r, k + 1
+
+    X, _, _ = jax.lax.while_loop(
+        cond, body, (X0, jnp.asarray(jnp.inf, K.dtype), jnp.asarray(0))
+    )
     return X

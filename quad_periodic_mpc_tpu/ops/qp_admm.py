@@ -59,6 +59,7 @@ class ADMMState(NamedTuple):
     x: jnp.ndarray
     z: jnp.ndarray
     y: jnp.ndarray
+    kinv: jnp.ndarray | None = None   # carried K^{-1} (ns warm start)
 
 
 def rho_vector(l: jnp.ndarray, u: jnp.ndarray, cfg: ADMMConfig) -> jnp.ndarray:
@@ -101,11 +102,19 @@ def solve(
     """Run cfg.iterations fixed ADMM steps; returns (x, final state).
 
     Fully batched over leading dims of qp; jit/vmap/shard_map safe.
+    When warm.kinv carries the previous MPC step's K^{-1} (K drifts
+    slowly between control ticks), the Newton-Schulz factorization runs
+    ns_warm_iters GEMM rounds instead of ns_iters; the per-iteration
+    refinement in the x-update absorbs the residual inexactness.  The
+    returned state carries the fresh K^{-1} for the next step.
     """
     rho = rho_vector(qp.l, qp.u, cfg)
     K = build_kkt(qp, rho, cfg)
     if cfg.kkt == "ns":
-        K_inv = linalg.ns_inverse(K, cfg.ns_iters)
+        kinv_seed = warm.kinv if warm is not None else None
+        K_inv = linalg.ns_inverse(
+            K, cfg.ns_iters, X0=kinv_seed, tol=cfg.ns_tol
+        )
     else:
         K_inv = linalg.cho_inverse(linalg.cholesky_factor(K))
 
@@ -124,7 +133,7 @@ def solve(
     a = jnp.asarray(cfg.over_relax, dtype)
     rho_inv = 1.0 / rho
 
-    def step(state: ADMMState, _):
+    def step(state, _):
         x, z, y = state
         rhs = sigma * x - qp.q + con.apply_T(qp.F, rho * z - y)
         x_t = jnp.einsum("...nm,...m->...n", K_inv, rhs)
@@ -139,9 +148,12 @@ def solve(
         z_r = a * z_t + (1.0 - a) * z
         z_new = jnp.clip(z_r + rho_inv * y, qp.l, qp.u)
         y_new = y + rho * (z_r - z_new)
-        return ADMMState(x_new, z_new, y_new), None
+        return (x_new, z_new, y_new), None
 
-    final, _ = jax.lax.scan(step, warm, None, length=cfg.iterations)
+    (x_f, z_f, y_f), _ = jax.lax.scan(
+        step, (warm.x, warm.z, warm.y), None, length=cfg.iterations
+    )
+    final = ADMMState(x=x_f, z=z_f, y=y_f, kinv=K_inv)
     return final.x, final
 
 
