@@ -40,6 +40,64 @@ def cho_inverse(chol: jnp.ndarray) -> jnp.ndarray:
     return cho_solve(chol, eye)
 
 
+def dare_doubling(
+    Ad: jnp.ndarray,
+    Bd: jnp.ndarray,
+    Qd: jnp.ndarray,
+    Rd: jnp.ndarray,
+    iters: int = 30,
+) -> jnp.ndarray:
+    """Discrete algebraic Riccati solution via the structure-preserving
+    doubling algorithm (quadratic convergence, batched GEMMs + solves):
+
+        A_{k+1} = A_k (I + G_k H_k)^{-1} A_k
+        G_{k+1} = G_k + A_k (I + G_k H_k)^{-1} G_k A_k^T
+        H_{k+1} = H_k + A_k^T H_k (I + G_k H_k)^{-1} A_k
+        P = lim H_k
+    """
+    n = Ad.shape[-1]
+    eye = jnp.eye(n, dtype=Ad.dtype)
+    G0 = Bd @ jnp.linalg.solve(
+        Rd, jnp.swapaxes(Bd, -1, -2)
+    )
+
+    def body(carry, _):
+        A, G, H = carry
+        M = jnp.linalg.inv(eye + G @ H)
+        MA = M @ A
+        A_next = A @ MA
+        G_next = G + A @ M @ G @ jnp.swapaxes(A, -1, -2)
+        H_next = H + jnp.swapaxes(A, -1, -2) @ H @ MA
+        return (A_next, G_next, H_next), None
+
+    (_, _, H), _ = jax.lax.scan(body, (Ad, G0, Qd), None, length=iters)
+    return (H + jnp.swapaxes(H, -1, -2)) / 2.0
+
+
+def care(
+    A: jnp.ndarray,
+    B: jnp.ndarray,
+    Q: jnp.ndarray,
+    R: jnp.ndarray,
+    dt: float = 1e-3,
+    iters: int = 30,
+) -> jnp.ndarray:
+    """Continuous algebraic Riccati equation, batched.
+
+    Replaces the reference's Schur/Hamiltonian-eigendecomposition solve
+    (BalanceControllerVBL::update_P_LQR, BalanceControllerVBL.cpp:414-455)
+    — eigendecompositions don't batch on TPU — with an Euler
+    discretization (Ad = I + dt A, Bd = dt B, Qd = dt Q, Rd = dt R)
+    followed by DARE doubling; the discrete value function converges to
+    the continuous one as dt -> 0 (O(dt) bias, ~0.1% at 1e-3).
+    """
+    n = A.shape[-1]
+    eye = jnp.eye(n, dtype=A.dtype)
+    return dare_doubling(
+        eye + dt * A, dt * B, dt * Q, dt * R, iters
+    ) / 1.0
+
+
 def ns_inverse(
     K: jnp.ndarray,
     iters: int = 30,

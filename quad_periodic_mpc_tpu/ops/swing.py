@@ -86,6 +86,55 @@ def evaluate(
     return SwingEval(p=p, v=v, a=a)
 
 
+def evaluate_stairs(
+    p0: jnp.ndarray,
+    pf: jnp.ndarray,
+    height,
+    phase: jnp.ndarray,
+    swing_time: jnp.ndarray,
+) -> SwingEval:
+    """Stairs variant (computeStairsSwingTrajectoryBezier,
+    FootSwingTrajectory.cpp:49-97): xy hold in each half-segment while z
+    clears the riser — x/y position stays at p0 until mid-swing and the
+    velocity/acceleration profile uses the 1/3-waypoint Beziers.
+    """
+    ph = phase
+    st = swing_time
+    first = ph < 0.5
+    x1 = ph * 2.0
+    x2 = ph * 2.0 - 1.0
+
+    def seg(c, which):
+        y0 = p0[..., c]
+        yf = pf[..., c]
+        ymid = y0 + (yf - y0) / 3.0
+        if which == "p":
+            return jnp.where(
+                first, cubic_bezier(y0, y0, x1), cubic_bezier(y0, y0, x2)
+            )
+        if which == "v":
+            return jnp.where(
+                first,
+                cubic_bezier_d1(y0, ymid, x1) * 2.0 / st,
+                cubic_bezier_d1(ymid, yf, x2) * 2.0 / st,
+            )
+        return jnp.where(
+            first,
+            cubic_bezier_d2(y0, ymid, x1) * 4.0 / (st * st),
+            cubic_bezier_d2(ymid, yf, x2) * 4.0 / (st * st),
+        )
+
+    base = evaluate(p0, pf, height, phase, swing_time)   # supplies z rows
+    p = base.p
+    v = base.v
+    a = base.a
+    for c in range(2):
+        p = p.at[..., c].set(seg(c, "p"))
+        v = v.at[..., c].set(seg(c, "v"))
+        a = a.at[..., c].set(seg(c, "a"))
+    return SwingEval(p=p, v=v, a=a)
+
+
 def raibert_foothold(
     p_body: jnp.ndarray,
     v_world: jnp.ndarray,
