@@ -103,10 +103,10 @@ def solve(
 
     Fully batched over leading dims of qp; jit/vmap/shard_map safe.
     When warm.kinv carries the previous MPC step's K^{-1} (K drifts
-    slowly between control ticks), the Newton-Schulz factorization runs
-    ns_warm_iters GEMM rounds instead of ns_iters; the per-iteration
-    refinement in the x-update absorbs the residual inexactness.  The
-    returned state carries the fresh K^{-1} for the next step.
+    slowly between control ticks), the adaptive Newton-Schulz loop exits
+    after a few GEMM rounds (ns_tol residual gate) instead of the full
+    ns_iters; the per-iteration refinement in the x-update absorbs the
+    residual inexactness.  The returned state carries the fresh K^{-1}.
     """
     rho = rho_vector(qp.l, qp.u, cfg)
     K = build_kkt(qp, rho, cfg)
