@@ -1,0 +1,199 @@
+"""Fused ADMM-iteration Pallas kernel.
+
+The XLA ADMM loop is HBM-bound: every iteration re-reads each instance's
+K^{-1} (57.6 KB at h=10) from HBM — 100 iterations x batch 2048 = 11.8 GB
+per solve, ~15 ms at v5e bandwidth.  This kernel holds a chunk of
+instances' K^{-1} RESIDENT IN VMEM across all iterations, reducing the
+K^{-1} traffic to one pass (118 MB, ~0.15 ms).
+
+Layout: instances ride the LANE axis (chunk C = 128 per grid step), so
+- the per-instance matvec x~ = K^{-1} rhs becomes an unrolled sum of
+  row-broadcast multiplies on the VPU ((n, C) tiles);
+- the constraint products A x and A^T w use the SHARED dense pyramid
+  matrix (same for every instance) -> true MXU matmuls
+  (m, n) @ (n, C).
+
+Iterations run in a fori_loop inside the kernel; grid iterates over
+batch chunks with Mosaic pipelining the next chunk's K^{-1} DMA behind
+the current chunk's compute.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from quad_periodic_mpc_tpu.config import ADMMConfig
+
+CHUNK = 128
+
+
+def _dense_constraint_matrix(F: np.ndarray, h: int) -> np.ndarray:
+    """blockdiag of 4h copies of the (c, a) pyramid block -> (m, n)."""
+    c, a = F.shape
+    k = 4 * h
+    A = np.zeros((k * c, k * a), F.dtype)
+    for i in range(k):
+        A[i * c : (i + 1) * c, i * a : (i + 1) * a] = F
+    return A
+
+
+def _kernel(
+    kinv_ref,    # (n, n, C) VMEM
+    q_ref,       # (n, C)
+    l_ref,       # (m, C)
+    u_ref,       # (m, C)
+    rho_ref,     # (m, C)
+    x0_ref,      # (n, C)
+    z0_ref,      # (m, C)
+    y0_ref,      # (m, C)
+    A_ref,       # (m, n) shared dense constraint matrix
+    At_ref,      # (n, m)
+    x_out,       # (n, C)
+    z_out,       # (m, C)
+    y_out,       # (m, C)
+    *,
+    n: int,
+    m: int,
+    iters: int,
+    sigma: float,
+    over_relax: float,
+):
+    q = q_ref[0]
+    l = l_ref[0]
+    u = u_ref[0]
+    rho = rho_ref[0]
+    rho_inv = 1.0 / rho
+    a = over_relax
+
+    def body(_, carry):
+        x, z, y = carry
+        w = rho * z - y
+        rhs = sigma * x - q + jnp.dot(
+            At_ref[:], w, preferred_element_type=jnp.float32
+        )
+        # per-instance matvec on the VPU: x~[i, c] = sum_j Kinv[i, j, c] rhs[j, c]
+        def mv(j, acc):
+            kj = kinv_ref[0, :, j, :]         # (n, C)
+            return acc + kj * rhs[j, :][None, :]
+
+        x_t = jax.lax.fori_loop(0, n, mv, jnp.zeros_like(x))
+        x_new = a * x_t + (1.0 - a) * x
+        z_t = jnp.dot(A_ref[:], x_t, preferred_element_type=jnp.float32)
+        z_r = a * z_t + (1.0 - a) * z
+        z_new = jnp.clip(z_r + rho_inv * y, l, u)
+        y_new = y + rho * (z_r - z_new)
+        return x_new, z_new, y_new
+
+    x, z, y = jax.lax.fori_loop(
+        0, iters, body, (x0_ref[0], z0_ref[0], y0_ref[0])
+    )
+    x_out[0] = x
+    z_out[0] = z
+    y_out[0] = y
+
+
+@functools.partial(
+    jax.jit, static_argnames=("iters", "sigma", "over_relax", "interpret")
+)
+def fused_admm_iterations(
+    K_inv: jnp.ndarray,     # (B, n, n)
+    q: jnp.ndarray,         # (B, n)
+    l: jnp.ndarray,         # (B, m)
+    u: jnp.ndarray,         # (B, m)
+    rho: jnp.ndarray,       # (B, m)
+    F: jnp.ndarray,         # (c, a) pyramid block
+    x0: jnp.ndarray,
+    z0: jnp.ndarray,
+    y0: jnp.ndarray,
+    iters: int = 100,
+    sigma: float = 1e-6,
+    over_relax: float = 1.6,
+    interpret: bool = False,
+):
+    """Run the OSQP iteration with VMEM-resident K^{-1}.
+
+    Returns (x, z, y) with shapes matching the inputs.  B is padded to a
+    multiple of CHUNK internally.
+    """
+    B, n = q.shape
+    m = l.shape[-1]
+    h = n // 12
+    pad = (-B) % CHUNK
+    if pad:
+        padv = lambda t: jnp.concatenate(
+            [t, jnp.repeat(t[-1:], pad, axis=0)], axis=0
+        )
+        K_inv, q, l, u, rho, x0, z0, y0 = map(
+            padv, (K_inv, q, l, u, rho, x0, z0, y0)
+        )
+    Bp = q.shape[0]
+    nc = Bp // CHUNK
+
+    # instance-in-lane layout: (nc, n, n, C) etc.
+    def to_lanes(t):
+        extra = t.shape[1:]
+        return jnp.moveaxis(
+            t.reshape((nc, CHUNK) + extra), 1, -1
+        )
+
+    K_t = to_lanes(K_inv)
+    q_t, l_t, u_t, rho_t = map(to_lanes, (q, l, u, rho))
+    x_t, z_t, y_t = map(to_lanes, (x0, z0, y0))
+
+    A_dense = jnp.kron(jnp.eye(4 * h, dtype=jnp.float32), F.astype(jnp.float32))
+    At_dense = A_dense.T
+
+    grid = (nc,)
+    chunk_spec = lambda *shape: pl.BlockSpec(
+        shape, lambda i: (i,) + (0,) * (len(shape) - 1),
+        memory_space=pltpu.VMEM,
+    )
+    shared_spec = lambda *shape: pl.BlockSpec(
+        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM,
+    )
+
+    kernel = functools.partial(
+        _kernel, n=n, m=m, iters=iters, sigma=sigma, over_relax=over_relax
+    )
+    x_o, z_o, y_o = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            chunk_spec(1, n, n, CHUNK),
+            chunk_spec(1, n, CHUNK),
+            chunk_spec(1, m, CHUNK),
+            chunk_spec(1, m, CHUNK),
+            chunk_spec(1, m, CHUNK),
+            chunk_spec(1, n, CHUNK),
+            chunk_spec(1, m, CHUNK),
+            chunk_spec(1, m, CHUNK),
+            shared_spec(m, n),
+            shared_spec(n, m),
+        ],
+        out_specs=[
+            chunk_spec(1, n, CHUNK),
+            chunk_spec(1, m, CHUNK),
+            chunk_spec(1, m, CHUNK),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nc, n, CHUNK), jnp.float32),
+            jax.ShapeDtypeStruct((nc, m, CHUNK), jnp.float32),
+            jax.ShapeDtypeStruct((nc, m, CHUNK), jnp.float32),
+        ],
+        interpret=interpret,
+    )(K_t, q_t, l_t, u_t, rho_t, x_t, z_t, y_t, A_dense, At_dense)
+
+    def from_lanes(t, inner):
+        return jnp.moveaxis(t, -1, 1).reshape((Bp,) + inner)[:B]
+
+    return (
+        from_lanes(x_o, (n,)),
+        from_lanes(z_o, (m,)),
+        from_lanes(y_o, (m,)),
+    )
