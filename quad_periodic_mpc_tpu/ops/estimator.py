@@ -125,7 +125,9 @@ def fit_sin(times: jnp.ndarray, smoothed: jnp.ndarray) -> SinFit:
     m = jnp.mean(smoothed, axis=-1)
     s = jnp.sqrt(jnp.mean((smoothed - m[..., None]) ** 2, axis=-1))
     return SinFit(
-        amp=s * np.sqrt(2.0),
+        # python-float constant stays weakly typed (np.float64 would
+        # promote f32 pipelines to f64 under x64 test configs)
+        amp=s * float(np.sqrt(2.0)),
         freq=freq,
         phase=jnp.zeros_like(freq),
         offset=m,
