@@ -78,11 +78,15 @@ def _kernel(
             At_ref[:], w, preferred_element_type=jnp.float32
         )
         # per-instance matvec on the VPU: x~[i, c] = sum_j Kinv[i, j, c] rhs[j, c]
-        def mv(j, acc):
-            kj = kinv_ref[0, :, j, :]         # (n, C)
-            return acc + kj * rhs[j, :][None, :]
-
-        x_t = jax.lax.fori_loop(0, n, mv, jnp.zeros_like(x))
+        # j is processed in static blocks (Mosaic has no dynamic_slice):
+        # each block forms an (n, JB, C) product reduced over its j axis.
+        JB = 8
+        x_t = jnp.zeros_like(x)
+        for b in range(0, n, JB):
+            jb = min(JB, n - b)
+            kb = kinv_ref[0, :, b : b + jb, :]       # (n, jb, C)
+            rb = rhs[b : b + jb, :][None, :, :]      # (1, jb, C)
+            x_t = x_t + jnp.sum(kb * rb, axis=1)
         x_new = a * x_t + (1.0 - a) * x
         z_t = jnp.dot(A_ref[:], x_t, preferred_element_type=jnp.float32)
         z_r = a * z_t + (1.0 - a) * z
