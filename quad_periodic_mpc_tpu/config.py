@@ -142,6 +142,10 @@ class EstimatorConfig:
     # discrete residual Qd w = x_k - Ad x_prev - Bd u_prev for the
     # acceleration-space wrench w (recommended with mode="ls").
     residual: str = "reference"
+    # Predict the fitted sinusoid PER HORIZON STEP instead of holding it
+    # constant (the reference applies one f_est to every step,
+    # SolverMPC.cpp:810); meaningful with mode="ls".
+    predictive: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

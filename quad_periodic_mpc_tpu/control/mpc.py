@@ -282,6 +282,11 @@ def mpc_step(
         )
     f_ext = jnp.where(state.have_prev[..., None], f_ext, 0.0)
     est_state, f_for_qp = est_ops.update(state.est, sim_time, f_ext, est_cfg)
+    f_steps = None
+    if est_cfg.predictive:
+        f_steps = est_ops.predict_horizon(
+            est_state, sim_time, mpc.dt_mpc, mpc.horizon, est_cfg
+        )
 
     # ---- QP assembly + solve ----
     seg = gait_ops.segment_index(gait, state.iteration, loop.iterations_between_mpc)
@@ -290,7 +295,8 @@ def mpc_step(
         p=p_used, v=obs.v, quat=obs.quat, omega=obs.omega, r_feet=r_feet
     )
     qp, pred, x0 = problem.build_qp(
-        qp_obs, x_ref, table, mpc, f_est=f_for_qp, x_drag=x_comp
+        qp_obs, x_ref, table, mpc, f_est=f_for_qp, x_drag=x_comp,
+        f_est_steps=f_steps,
     )
     if isinstance(solver, ADMMConfig):
         warm = qp_admm.ADMMState(

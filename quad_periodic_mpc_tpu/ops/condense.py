@@ -160,6 +160,25 @@ def disturbance_response(
     return jnp.einsum("kh,...kn->...hn", coef, bw)
 
 
+def disturbance_response_timevarying(
+    pred: Prediction, w_steps: jnp.ndarray, horizon: int
+) -> jnp.ndarray:
+    """Response to a per-step disturbance sequence w_steps (..., h, 6):
+
+        row r = sum_{c<=r} Adt^{r-c} Qdt w_c
+              = sum_i sum_c L_i[r, c] (N^i Qdt) w_c
+
+    (the same Toeplitz tables as B_qp) — enables PREDICTING a periodic
+    disturbance across the horizon instead of the reference's
+    constant-wrench assumption (SolverMPC.cpp:810 applies one f_est to
+    every step).  Returns (..., h, 13).
+    """
+    t = coeff_tables(horizon)
+    L = jnp.asarray(t.L, w_steps.dtype)                    # (3, h, h)
+    xww = jnp.einsum("...inw,...cw->...icn", pred.Xw, w_steps)  # (..., 3, h, 13)
+    return jnp.einsum("irc,...icn->...rn", L, xww)
+
+
 def materialize_B_qp(pred: Prediction, horizon: int) -> jnp.ndarray:
     """Dense B_qp (..., 13h, 12h) — verification / naive path."""
     t = coeff_tables(horizon)
@@ -233,6 +252,7 @@ def cost_gradient(
     x_ref: jnp.ndarray,
     f_est: jnp.ndarray,
     horizon: int,
+    f_est_steps: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """qg = 2 B_qp^T S (A_qp x0 + Q_qp f_est - X_d), (..., 12h).
 
@@ -240,11 +260,16 @@ def cost_gradient(
       x_ref: (..., h, 13) reference trajectory (the reference packs 12
         tracked entries per step, X_d row 13 is 0 — pass 13-wide here with
         the last column zero; see trajectory builder in control/mpc.py).
+      f_est_steps: optional per-step predicted wrench (..., h, 6) — when
+        given, overrides the constant f_est with the time-varying
+        response (predictive periodic compensation).
     """
     t = coeff_tables(horizon)
-    y = state_response(pred, x0, horizon) + disturbance_response(
-        pred, f_est, horizon
-    ) - x_ref                                               # (..., h, 13)
+    if f_est_steps is not None:
+        dist = disturbance_response_timevarying(pred, f_est_steps, horizon)
+    else:
+        dist = disturbance_response(pred, f_est, horizon)
+    y = state_response(pred, x0, horizon) + dist - x_ref    # (..., h, 13)
     wy = full_weight(weights12)[..., None, :] * y           # (..., h, 13)
     L = jnp.asarray(t.L, y.dtype)                           # (3, h, h)
     # g_c = sum_i Xu_i^T sum_r L_i[r, c] wy_r

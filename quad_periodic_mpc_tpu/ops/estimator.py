@@ -269,6 +269,43 @@ def update(
     return new_state, f_for_qp
 
 
+def predict_horizon(
+    state: EstimatorState,
+    sim_time: jnp.ndarray,
+    dt_step: float,
+    horizon: int,
+    cfg: EstimatorConfig,
+) -> jnp.ndarray:
+    """Per-step predicted wrench over the MPC horizon (..., h, 6).
+
+    Extends the compensation beyond the reference's constant-wrench
+    assumption: with the ls fit (stat, B sin + D cos at freq f), the
+    disturbance at t + k dt is evaluated per step — a 0.33 Hz signal
+    changes ~30% across the 0.26 s horizon, which the constant model
+    ignores.  Released on the same schedule as update()'s f_for_qp.
+    """
+    dtype = state.diffs.dtype
+    k = jnp.arange(horizon, dtype=dtype) * jnp.asarray(dt_step, dtype)
+    t_steps = sim_time[..., None] + k                      # (..., h)
+    two_pi = jnp.asarray(2.0 * np.pi, dtype)
+    wt = two_pi * state.est_freq[..., None] * t_steps
+    if cfg.mode == "ls":
+        comp = (
+            state.est_stat[..., None]
+            + state.est_sin[..., None] * jnp.sin(wt)
+            + state.est_cos[..., None] * jnp.cos(wt)
+        )
+        release = state.count >= cfg.ls_release
+    else:
+        comp = state.est_amp[..., None] + jnp.sin(
+            wt + state.est_phase[..., None]
+        )
+        release = state.count > cfg.freeze_after
+    w = jnp.zeros(comp.shape[:-1] + (horizon, 6), dtype)
+    w = w.at[..., 3].set(comp)
+    return jnp.where(release[..., None, None], w, jnp.zeros_like(w))
+
+
 def residual_f_ext(
     x_k: jnp.ndarray,
     x_prev: jnp.ndarray,

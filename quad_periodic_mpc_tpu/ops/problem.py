@@ -37,6 +37,7 @@ def build_qp(
     cfg: MPCConfig,
     f_est: jnp.ndarray | None = None,
     x_drag: jnp.ndarray | float = 0.0,
+    f_est_steps: jnp.ndarray | None = None,
 ) -> tuple[QPData, condense.Prediction, jnp.ndarray]:
     """Assemble the condensed QP.
 
@@ -65,7 +66,9 @@ def build_qp(
         f_est = jnp.zeros(x0.shape[:-1] + (6,), dtype)
 
     P = condense.cost_hessian(pred, weights, cfg.alpha, h)
-    q = condense.cost_gradient(pred, weights, x0, x_ref, f_est, h)
+    q = condense.cost_gradient(
+        pred, weights, x0, x_ref, f_est, h, f_est_steps=f_est_steps
+    )
 
     l, u = constraints.bounds(gait_table, cfg.f_max, cfg.big_number)
     batch = l.shape[:-3]

@@ -230,3 +230,35 @@ def test_batched_assembly():
             p1, jnp.asarray(cfg.weights, jnp.float64), cfg.alpha, cfg.horizon
         )
         np.testing.assert_allclose(np.asarray(H[i]), np.asarray(H1), atol=1e-10)
+
+
+def test_timevarying_disturbance_response():
+    """Per-step response: constant w_steps == constant-wrench path; a
+    delta at step k propagates as Adt^(r-k) Qdt w."""
+    cfg = MPCConfig(horizon=6)
+    _, quat, r_feet = random_obs()
+    R = quat_to_rotmat(jnp.asarray(quat))
+    A, B, Qc = srb.ct_dynamics(
+        R, jnp.asarray(r_feet), cfg.mass, jnp.asarray(cfg.inertia_body)
+    )
+    pred = condense.build_prediction(A, B, Qc, cfg.dt_mpc)
+    w = jnp.asarray(RNG.uniform(-1, 1, 6))
+
+    const = condense.disturbance_response(pred, w, 6)
+    tv = condense.disturbance_response_timevarying(
+        pred, jnp.broadcast_to(w, (6, 6)), 6
+    )
+    np.testing.assert_allclose(np.asarray(tv), np.asarray(const), atol=1e-10)
+
+    # delta at step k: rows r >= k get Adt^(r-k) Qdt w, rows < k zero
+    k = 2
+    w_steps = jnp.zeros((6, 6)).at[k].set(w)
+    tv2 = np.asarray(
+        condense.disturbance_response_timevarying(pred, w_steps, 6)
+    )
+    Adt, Qdt = np.asarray(pred.Adt), np.asarray(pred.Qdt)
+    np.testing.assert_allclose(tv2[:k], 0.0, atol=1e-12)
+    expect = Qdt @ np.asarray(w)
+    for r in range(k, 6):
+        np.testing.assert_allclose(tv2[r], expect, atol=1e-9)
+        expect = Adt @ expect
