@@ -106,3 +106,44 @@ def test_early_contact_handle():
     assert abs(float(dur2[0]) - 0.6) < 1e-6
     # leg 1: touched but early in swing -> unchanged
     assert float(off2[1]) == 0.5 and float(dur2[1]) == 0.5
+
+
+def test_sensor_processor_pipeline():
+    """Sensor processors: variance grows with distance; points land in
+    the map frame; fusing a processed cloud reconstructs the surface."""
+    import jax.numpy as jnp
+    from quad_periodic_mpc_tpu.terrain import sensor
+
+    model = sensor.StructuredLightModel()
+    # camera looking straight down from 0.5 m, points on flat ground
+    n = 32
+    xs = np.linspace(-0.3, 0.3, n)
+    pts_sensor = jnp.asarray(
+        np.stack([xs, np.zeros(n), np.full(n, 0.5)], axis=-1)
+    )
+    R_cam_down = jnp.asarray(
+        [[1.0, 0, 0], [0, -1.0, 0], [0, 0, -1.0]]
+    )  # sensor z -> -map z
+    p_map, var = sensor.process_points(
+        pts_sensor, model,
+        R_map_base=jnp.eye(3),
+        R_base_sensor=R_cam_down,
+        t_base_sensor=jnp.asarray([0.0, 0.0, 0.5]),
+        t_map_base=jnp.zeros(3),
+    )
+    np.testing.assert_allclose(np.asarray(p_map)[:, 2], 0.0, atol=1e-6)
+    assert (np.asarray(var) > 0).all()
+
+    far = sensor.process_points(
+        pts_sensor.at[:, 2].set(2.0), model,
+        R_map_base=jnp.eye(3), R_base_sensor=R_cam_down,
+        t_base_sensor=jnp.asarray([0.0, 0.0, 2.0]), t_map_base=jnp.zeros(3),
+    )[1]
+    assert float(np.asarray(far).mean()) > float(np.asarray(var).mean())
+
+    # end-to-end: fuse the processed cloud into the map
+    hm = hmap.create(size=32, resolution=0.04, dtype=jnp.float64)
+    hm = hmap.fuse_points(hm, jnp.asarray(p_map, jnp.float64),
+                          jnp.asarray(var, jnp.float64) + 1e-6)
+    idx = hmap.world_to_index(hm, jnp.asarray([0.0, 0.0]))
+    assert abs(float(hm.elevation[idx[0], idx[1]])) < 1e-3
