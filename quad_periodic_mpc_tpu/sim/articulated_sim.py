@@ -1,0 +1,212 @@
+"""Articulated whole-body simulator: torque-level closed-loop testing.
+
+The RaiSim replacement tier above sim/srb_sim.py: full 18-DoF forward
+dynamics from the floating-base model (models/floating_base.py) with
+penalty-based ground contact — the plant for torque-level validation of
+the LegController/WBC stack (the reference validates these only against
+RaiSim, SURVEY.md section 4).
+
+    qdd = A(q)^{-1} (tau_gen + sum_legs Jc^T f_contact - C qdot - G)
+
+Contact: spring-damper normal force fz = (-k z - d vz)+ gated on
+penetration, Coulomb-clamped viscous tangential friction — the standard
+penalty model (RaiSim uses hard contacts; the penalty plant is stiff
+enough for controller validation at dt = 1e-3).
+
+Integration: semi-implicit Euler in body coordinates — v_body and qd
+advance with qdd, then pose integrates on the manifold
+(R <- R exp([w] dt), quaternion form).  Batched over instances.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from quad_periodic_mpc_tpu.models import floating_base as fb
+from quad_periodic_mpc_tpu.estimation.orientation import quat_product
+from quad_periodic_mpc_tpu.ops.rotations import quat_to_rotmat
+
+
+@dataclasses.dataclass(frozen=True)
+class ContactParams:
+    k_normal: float = 8000.0
+    d_normal: float = 300.0
+    mu: float = 0.6
+    k_tangent: float = 3000.0     # stiction spring (anchor model)
+    d_tangent: float = 60.0
+
+
+class ArtState(NamedTuple):
+    fb: fb.FBState
+    t: jnp.ndarray
+    anchor: jnp.ndarray      # (..., 4, 2) tangential stiction anchors
+    in_contact: jnp.ndarray  # (..., 4) previous-step contact flag
+
+
+def init(
+    batch: tuple = (),
+    height: float = 0.32,
+    q_stand: tuple = (0.0, 0.8, -1.6),
+    dtype=jnp.float32,
+) -> ArtState:
+    z = lambda *s: jnp.zeros(batch + s, dtype)
+    quat = jnp.broadcast_to(
+        jnp.asarray([1.0, 0.0, 0.0, 0.0], dtype), batch + (4,)
+    )
+    pos = jnp.broadcast_to(jnp.asarray([0.0, 0.0, height], dtype), batch + (3,))
+    q = jnp.broadcast_to(jnp.asarray(q_stand * 4, dtype), batch + (12,))
+    state = fb.FBState(quat=quat, pos=pos, v_body=z(6), q=q, qd=z(12))
+    info = fb.contact_jacobians(state, mc_cache(dtype))
+    return ArtState(
+        fb=state,
+        t=jnp.zeros(batch, dtype),
+        anchor=info.p_foot[..., 0:2],
+        in_contact=jnp.zeros(batch + (4,), dtype),
+    )
+
+
+_MC_CACHE = {}
+
+
+def mc_cache(dtype) -> "fb.ModelConstants":
+    key = jnp.dtype(dtype).name
+    if key not in _MC_CACHE:
+        _MC_CACHE[key] = fb.build_a1_constants(key)
+    return _MC_CACHE[key]
+
+
+def init_on_ground(
+    batch: tuple = (),
+    q_stand: tuple = (0.0, 0.8, -1.6),
+    penetration: float = 2e-3,
+    dtype=jnp.float32,
+) -> ArtState:
+    """Initialize with feet exactly on (slightly into) the ground: body
+    height derived from the stand-pose leg FK, so the plant starts in
+    sustained contact instead of an airborne drop."""
+    from quad_periodic_mpc_tpu.models import leg_kinematics as lk
+    from quad_periodic_mpc_tpu.models.a1 import A1
+
+    geom = lk.LegGeometry(
+        A1.leg.abad_link_length, A1.leg.hip_link_length,
+        A1.leg.knee_link_length,
+    )
+    foot_z = float(
+        lk.foot_position(
+            jnp.asarray(q_stand, jnp.float64), geom, jnp.asarray(-1.0)
+        )[2]
+    )
+    height = -foot_z - penetration
+    return init(batch, height=height, q_stand=q_stand, dtype=dtype)
+
+
+def contact_forces(
+    info: fb.ContactInfo,
+    qdot: jnp.ndarray,
+    anchor: jnp.ndarray,
+    params: ContactParams,
+    dtype,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(..., 4, 3) world-frame contact forces + updated anchors.
+
+    Normal: spring-damper on penetration.  Tangential: STICTION — a
+    spring from the per-foot anchor set at touchdown (plus damping),
+    Coulomb-capped; when the cap binds, the anchor slides to the point
+    consistent with the capped force (so sustained tangential load does
+    not creep, unlike a viscous-only model).
+    """
+    v_feet = jnp.einsum("...kij,...j->...ki", info.Jc, qdot)
+    z = info.p_foot[..., 2]
+    vz = v_feet[..., 2]
+    pen = jnp.maximum(-z, 0.0)
+    active = (z < 0.0).astype(dtype)
+    fz = jnp.maximum(
+        params.k_normal * pen - params.d_normal * vz * active, 0.0
+    ) * active
+
+    p_xy = info.p_foot[..., 0:2]
+    ft = (
+        -params.k_tangent * (p_xy - anchor)
+        - params.d_tangent * v_feet[..., 0:2]
+    ) * active[..., None]
+    ft_norm = jnp.linalg.norm(ft, axis=-1, keepdims=True)
+    limit = params.mu * fz[..., None]
+    slide = ft_norm > limit
+    scale = jnp.where(slide, limit / jnp.maximum(ft_norm, 1e-9), 1.0)
+    ft = ft * scale
+    # sliding: relocate the anchor so the spring alone carries the capped
+    # force at the current position
+    anchor_slid = p_xy + ft / params.k_tangent
+    anchor_new = jnp.where(slide, anchor_slid, anchor)
+    # feet out of contact track their position (anchor reset at touchdown)
+    anchor_new = jnp.where(active[..., None] > 0, anchor_new, p_xy)
+    return jnp.concatenate([ft, fz[..., None]], axis=-1), anchor_new
+
+
+def step(
+    state: ArtState,
+    tau_joints: jnp.ndarray,        # (..., 4, 3) or (..., 12)
+    mc: fb.ModelConstants,
+    dt: float = 1e-3,
+    params: ContactParams = ContactParams(),
+    f_ext_base: jnp.ndarray | None = None,   # (..., 3) world force at CoM
+) -> tuple[ArtState, jnp.ndarray]:
+    """One forward-dynamics step.  Returns (state', contact forces)."""
+    s = state.fb
+    dtype = s.pos.dtype
+    tau = tau_joints.reshape(tau_joints.shape[:-2] + (12,)) \
+        if tau_joints.shape[-1] == 3 else tau_joints
+
+    A = fb.mass_matrix(s, mc)
+    G = fb.generalized_gravity(s, mc)
+    C = fb.generalized_coriolis(s, mc)
+    info = fb.contact_jacobians(s, mc)
+    qdot = jnp.concatenate([s.v_body, s.qd], axis=-1)
+
+    f_c, anchor_new = contact_forces(info, qdot, state.anchor, params, dtype)
+    tau_gen = jnp.concatenate(
+        [jnp.zeros(s.pos.shape[:-1] + (6,), dtype), tau], axis=-1
+    )
+    rhs = (
+        tau_gen
+        + jnp.einsum("...kij,...ki->...j", info.Jc, f_c)
+        - C - G
+    )
+    if f_ext_base is not None:
+        # world force at the base origin -> generalized coords: the base
+        # linear rows are in the body frame
+        R = quat_to_rotmat(s.quat)
+        f_b = jnp.einsum("...ji,...j->...i", R, f_ext_base)
+        rhs = rhs.at[..., 3:6].add(f_b)
+
+    qdd = jnp.linalg.solve(A, rhs[..., None])[..., 0]
+
+    v_body = s.v_body + dt * qdd[..., 0:6]
+    qd = s.qd + dt * qdd[..., 6:18]
+    q = s.q + dt * qd
+
+    # manifold pose update from the new body velocity
+    R = quat_to_rotmat(s.quat)
+    pos = s.pos + dt * jnp.einsum("...ij,...j->...i", R, v_body[..., 3:6])
+    w = v_body[..., 0:3] * dt
+    angle = jnp.linalg.norm(w, axis=-1, keepdims=True)
+    axis = w / jnp.maximum(angle, 1e-12)
+    half = angle / 2.0
+    dq = jnp.concatenate(
+        [jnp.cos(half), axis * jnp.sin(half)], axis=-1
+    )
+    quat = quat_product(s.quat, dq)
+    quat = quat / jnp.linalg.norm(quat, axis=-1, keepdims=True)
+
+    return (
+        ArtState(
+            fb=fb.FBState(quat=quat, pos=pos, v_body=v_body, q=q, qd=qd),
+            t=state.t + dt,
+            anchor=anchor_new,
+            in_contact=(f_c[..., 2] > 0).astype(dtype),
+        ),
+        f_c,
+    )
