@@ -30,7 +30,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from quad_periodic_mpc_tpu.config import ADMMConfig
 
-CHUNK = 128
+CHUNK = 64   # Kinv VMEM block 3.7MB -> fits with double buffering
 
 
 def _dense_constraint_matrix(F: np.ndarray, h: int) -> np.ndarray:
@@ -80,7 +80,7 @@ def _kernel(
         # per-instance matvec on the VPU: x~[i, c] = sum_j Kinv[i, j, c] rhs[j, c]
         # j is processed in static blocks (Mosaic has no dynamic_slice):
         # each block forms an (n, JB, C) product reduced over its j axis.
-        JB = 8
+        JB = 24
         x_t = jnp.zeros_like(x)
         for b in range(0, n, JB):
             jb = min(JB, n - b)
