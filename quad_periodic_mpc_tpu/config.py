@@ -81,7 +81,10 @@ class ADMMConfig:
     # exits once max-batch ||I - XK||_inf < ns_tol (~3-6 rounds in steady
     # state); a cold start runs up to ns_iters.
     ns_tol: float = 0.01
-    refine: int = 1
+    # Per-iteration K-residual refinement of the x-update.  Measured
+    # unnecessary at ns_tol <= 1e-2 (f32 solve error ~1 mN either way);
+    # enable only for ill-conditioned custom weight sets.
+    refine: int = 0
     # Constraint-type-dependent rho scaling (OSQP "rho_eq" analog): rows
     # whose bounds pin z (l == u) get rho * eq_scale.
     eq_scale: float = 1e3
