@@ -80,7 +80,7 @@ def _kernel(
         # per-instance matvec on the VPU: x~[i, c] = sum_j Kinv[i, j, c] rhs[j, c]
         # j is processed in static blocks (Mosaic has no dynamic_slice):
         # each block forms an (n, JB, C) product reduced over its j axis.
-        JB = 24
+        JB = 8
         x_t = jnp.zeros_like(x)
         for b in range(0, n, JB):
             jb = min(JB, n - b)
