@@ -110,3 +110,55 @@ def test_batched_rollout_matches_single():
         )
         _, tr1 = run("trotting", 0.3, dist1, EstimatorConfig(), 25)
         np.testing.assert_allclose(xb[i], np.asarray(tr1.x), atol=1e-9)
+
+
+@pytest.mark.parametrize(
+    "gait_name",
+    [
+        "walking", "walking2",
+        pytest.param(
+            "pacing",
+            marks=pytest.mark.xfail(
+                reason="laterally-paired gait is roll-unstable under "
+                "MPC-force-only control; needs the 500 Hz WBC inner loop "
+                "(reference runs it with WBC) — round-2 wiring",
+            ),
+        ),
+        pytest.param(
+            "trot_running",
+            marks=pytest.mark.xfail(
+                reason="25% duty flight-phase gait; same WBC dependency",
+            ),
+        ),
+    ],
+)
+def test_other_gaits_hold_height(gait_name):
+    """Gait-family coverage: non-trot gaits keep the loop stable."""
+    carry, tr = run(gait_name, 0.2, S.DisturbanceParams.zero((), DTYPE),
+                    EstimatorConfig(), 80)
+    x = np.asarray(tr.x)
+    assert abs(x[-1, 5] - 0.29) < 0.05
+    assert abs(x[40:, 9].mean() - 0.2) < 0.08
+    assert np.abs(x[-1, 0:2]).max() < 0.2       # roll/pitch bounded
+
+
+def test_go1_model_pipeline():
+    """Second robot family: the GO1 constants drive the same pipeline."""
+    from quad_periodic_mpc_tpu.models.a1 import GO1
+    from quad_periodic_mpc_tpu.config import SwingConfig
+
+    plant = S.init_plant((), body_height=0.29, dtype=DTYPE)
+    obs = S.observe(plant)
+    ctrl = M.init_state((), obs, dtype=DTYPE)
+    full = lambda v: jnp.full((), v, DTYPE)
+    cmd = M.Command(vx=full(0.2), vy=full(0.0), yaw_rate=full(0.0),
+                    body_height=full(0.29))
+    gait = G.preset("trotting")
+    dist = S.DisturbanceParams.zero((), DTYPE)
+    carry, tr = L.rollout(
+        40, plant, ctrl, cmd, gait, dist, MPC_CFG, LOOP_CFG,
+        EstimatorConfig(), SOLVER, model=GO1,
+    )
+    x = np.asarray(tr.x)
+    assert abs(x[-1, 5] - 0.29) < 0.05
+    assert np.isfinite(x).all()
