@@ -37,6 +37,12 @@ def main() -> None:
     args = ap.parse_args()
 
     import jax
+
+    # persistent compile cache: remote (axon) compiles cost minutes; cached
+    # re-runs cost seconds
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     import jax.numpy as jnp
 
     from quad_periodic_mpc_tpu.config import (
@@ -102,7 +108,9 @@ def main() -> None:
     if args.batch:
         batches = [args.batch]
     else:
-        batches = [512, 2048, 8192]
+        # one shape by default: every distinct batch costs a multi-minute
+        # remote compile on this setup (cached thereafter)
+        batches = [2048]
 
     best = 0.0
     best_b = 0

@@ -77,10 +77,9 @@ class ADMMConfig:
     # factorization (CPU / verification).
     kkt: str = "ns"
     ns_iters: int = 30
-    # Adaptive NS termination: with a carried warm K^{-1} the while_loop
-    # exits once max-batch ||I - XK||_inf < ns_tol (~3-6 rounds in steady
-    # state); a cold start runs up to ns_iters.
-    ns_tol: float = 0.01
+    # Adaptive NS trip count: ns_warm_iters quadratic rounds when every
+    # instance carries a contractive warm K^{-1} seed, ns_iters otherwise.
+    ns_warm_iters: int = 3
     # Per-iteration K-residual refinement of the x-update.  Measured
     # unnecessary at ns_tol <= 1e-2 (f32 solve error ~1 mN either way);
     # enable only for ill-conditioned custom weight sets.
@@ -136,6 +135,9 @@ class EstimatorConfig:
     #   (parabolic-refined) + linear least squares on
     #   [sin(wt), cos(wt), 1] giving full (amp, phase, offset);
     #   comp = c + B sin(wt) + D cos(wt); refit every solve.
+    # - "ls6": the ls fit applied independently to EVERY component of the
+    #   6-wrench residual (the reference tracks only f_ext[3]) — rejects
+    #   periodic disturbances in any direction including torques.
     mode: str = "faithful"
     # "ls" releases compensation to the QP as soon as the window is full.
     ls_release: int = 400

@@ -51,14 +51,20 @@ from quad_periodic_mpc_tpu.config import EstimatorConfig
 
 class EstimatorState(NamedTuple):
     times: jnp.ndarray        # (..., window) ordered, newest last
-    diffs: jnp.ndarray        # (..., window)
+    diffs: jnp.ndarray        # (..., window) component-3 series (faithful/ls)
+    wrench_hist: jnp.ndarray  # (..., window, 6) full residual history (ls6)
     count: jnp.ndarray        # (...,) int32 samples pushed
     est_amp: jnp.ndarray      # (...,)
-    est_freq: jnp.ndarray     # (...,)
+    est_freq: jnp.ndarray     # (...,)  (ls6: shared across components? no — (..., 6))
     est_phase: jnp.ndarray    # (...,)
     est_stat: jnp.ndarray     # (...,)
     est_sin: jnp.ndarray      # (...,) LS sin coefficient (ls mode)
     est_cos: jnp.ndarray      # (...,) LS cos coefficient (ls mode)
+    # full-wrench LS fit (ls6 mode): per-component parameters
+    est6_freq: jnp.ndarray    # (..., 6)
+    est6_stat: jnp.ndarray    # (..., 6)
+    est6_sin: jnp.ndarray     # (..., 6)
+    est6_cos: jnp.ndarray     # (..., 6)
     f_est: jnp.ndarray        # (..., 6)
     f_est_smoothed: jnp.ndarray   # (..., 6)
     f_est_static: jnp.ndarray     # (..., 6)
@@ -69,6 +75,7 @@ def init(batch: tuple = (), window: int = 400, dtype=jnp.float32) -> EstimatorSt
     return EstimatorState(
         times=z(batch + (window,)),
         diffs=z(batch + (window,)),
+        wrench_hist=z(batch + (window, 6)),
         count=jnp.zeros(batch, jnp.int32),
         est_amp=z(batch),
         est_freq=z(batch),
@@ -76,6 +83,10 @@ def init(batch: tuple = (), window: int = 400, dtype=jnp.float32) -> EstimatorSt
         est_stat=z(batch),
         est_sin=z(batch),
         est_cos=z(batch),
+        est6_freq=z(batch + (6,)),
+        est6_stat=z(batch + (6,)),
+        est6_sin=z(batch + (6,)),
+        est6_cos=z(batch + (6,)),
         f_est=z(batch + (6,)),
         f_est_smoothed=z(batch + (6,)),
         f_est_static=z(batch + (6,)),
@@ -158,12 +169,15 @@ def fit_sin_ls(times: jnp.ndarray, y: jnp.ndarray) -> tuple[SinFit, jnp.ndarray,
 
     def ls_at(freq):
         """LS of y ~ B sin + D cos + c at a fixed frequency; returns
-        (sse, coef)."""
+        (sse, coef).  Tikhonov-regularized: at freq -> 0 the sin column
+        vanishes and the plain Gram goes singular (NaNs for silent
+        components)."""
         w = 2.0 * jnp.asarray(np.pi, y.dtype) * freq
         s = jnp.sin(w[..., None] * times)
         c = jnp.cos(w[..., None] * times)
         basis = jnp.stack([s, c, jnp.ones_like(s)], axis=-2)   # (..., 3, n)
         G = jnp.einsum("...in,...jn->...ij", basis, basis)
+        G = G + (1e-6 * n) * jnp.eye(3, dtype=y.dtype)
         b = jnp.einsum("...in,...n->...i", basis, y)
         coef = jnp.linalg.solve(G, b[..., None])[..., 0]
         resid = y - jnp.einsum("...i,...in->...n", coef, basis)
@@ -176,6 +190,8 @@ def fit_sin_ls(times: jnp.ndarray, y: jnp.ndarray) -> tuple[SinFit, jnp.ndarray,
     def grid_pick(center, half_span):
         offsets = jnp.linspace(-1.0, 1.0, 17).astype(y.dtype)
         cand = center[..., None] + offsets * half_span[..., None]  # (..., 17)
+        # keep candidates away from 0 Hz (DC is handled by the offset term)
+        cand = jnp.maximum(cand, 0.1 * bin_f[..., None])
         cand_t = jnp.moveaxis(cand, -1, 0)                         # (17, ...)
         sse, coef = ls_at(cand_t)
         best = jnp.argmin(sse, axis=0)
@@ -210,8 +226,58 @@ def update(
     diffs = jnp.concatenate(
         [state.diffs[..., 1:], f_ext[..., 3][..., None].astype(dtype)], axis=-1
     )
+    wrench_hist = jnp.concatenate(
+        [state.wrench_hist[..., 1:, :], f_ext[..., None, :].astype(dtype)],
+        axis=-2,
+    )
     count = state.count + 1
     two_pi = jnp.asarray(2.0 * np.pi, dtype)
+
+    est6 = (state.est6_freq, state.est6_stat, state.est6_sin, state.est6_cos)
+    if cfg.mode == "ls6":
+        # full-wrench fit: every component of the residual gets its own
+        # per-component sinusoid LS (beyond the reference, which only
+        # tracks f_ext[3] — SolverMPC.cpp:692-698): component rides a
+        # trailing batch axis through the same fit machinery.
+        y6 = gaussian_filter(
+            jnp.moveaxis(wrench_hist, -1, -2), cfg.sigma_fast
+        )                                                   # (..., 6, w)
+        fit6, B6, D6 = fit_sin_ls(times[..., None, :], y6)
+        fit_active = (count >= cfg.window)[..., None]
+        est6_freq = jnp.where(fit_active, fit6.freq, state.est6_freq)
+        est6_stat = jnp.where(fit_active, fit6.offset, state.est6_stat)
+        est6_sin = jnp.where(fit_active, B6, state.est6_sin)
+        est6_cos = jnp.where(fit_active, D6, state.est6_cos)
+        est6 = (est6_freq, est6_stat, est6_sin, est6_cos)
+
+        wt6 = two_pi * est6_freq * sim_time[..., None]
+        comp6 = est6_stat + est6_sin * jnp.sin(wt6) + est6_cos * jnp.cos(wt6)
+        release = count >= cfg.ls_release
+        have_fit = count >= cfg.window
+        f_est = jnp.where(have_fit[..., None], comp6, state.f_est)
+        f_est_smoothed = cfg.ema_smooth * state.f_est_smoothed + (
+            1.0 - cfg.ema_smooth
+        ) * f_est
+        f_est_static = (
+            cfg.ema_static * state.f_est_static
+            + (1.0 - cfg.ema_static) * f_ext
+        )
+        new_state = state._replace(
+            times=times, diffs=diffs, wrench_hist=wrench_hist, count=count,
+            est6_freq=est6_freq, est6_stat=est6_stat, est6_sin=est6_sin,
+            est6_cos=est6_cos, f_est=f_est, f_est_smoothed=f_est_smoothed,
+            f_est_static=f_est_static,
+            # mirror component 3 into the scalar telemetry fields
+            est_freq=est6_freq[..., 3], est_stat=est6_stat[..., 3],
+            est_sin=est6_sin[..., 3], est_cos=est6_cos[..., 3],
+            est_amp=jnp.sqrt(
+                est6_sin[..., 3] ** 2 + est6_cos[..., 3] ** 2
+            ),
+        )
+        f_for_qp = jnp.where(
+            release[..., None], f_est, jnp.zeros_like(f_est)
+        )
+        return new_state, f_for_qp
 
     if cfg.mode == "faithful":
         blurred = gaussian_filter(diffs, cfg.sigma_fast)
@@ -256,8 +322,8 @@ def update(
         + (1.0 - cfg.ema_static) * f_ext[..., 3]
     )
 
-    new_state = EstimatorState(
-        times=times, diffs=diffs, count=count,
+    new_state = state._replace(
+        times=times, diffs=diffs, wrench_hist=wrench_hist, count=count,
         est_amp=est_amp, est_freq=est_freq, est_phase=est_phase,
         est_stat=est_stat, est_sin=est_sin, est_cos=est_cos,
         f_est=f_est, f_est_smoothed=f_est_smoothed,
@@ -288,6 +354,15 @@ def predict_horizon(
     k = jnp.arange(horizon, dtype=dtype) * jnp.asarray(dt_step, dtype)
     t_steps = sim_time[..., None] + k                      # (..., h)
     two_pi = jnp.asarray(2.0 * np.pi, dtype)
+    if cfg.mode == "ls6":
+        wt6 = two_pi * state.est6_freq[..., None, :] * t_steps[..., None]
+        w = (
+            state.est6_stat[..., None, :]
+            + state.est6_sin[..., None, :] * jnp.sin(wt6)
+            + state.est6_cos[..., None, :] * jnp.cos(wt6)
+        )                                                  # (..., h, 6)
+        release = state.count >= cfg.ls_release
+        return jnp.where(release[..., None, None], w, jnp.zeros_like(w))
     wt = two_pi * state.est_freq[..., None] * t_steps
     if cfg.mode == "ls":
         comp = (

@@ -102,7 +102,7 @@ def ns_inverse(
     K: jnp.ndarray,
     iters: int = 30,
     X0: jnp.ndarray | None = None,
-    tol: float | None = None,
+    warm_iters: int = 3,
 ) -> jnp.ndarray:
     """Newton-Schulz iteration for K^{-1} of a symmetric PD batch.
 
@@ -113,11 +113,14 @@ def ns_inverse(
     contracts from the start for any SPD K.
 
     A warm X0 (previous control step's inverse) is guarded per instance:
-    non-contractive seeds fall back to the cold seed.  With tol set, the
-    loop becomes a while_loop that exits as soon as the WORST batch
-    residual max_b ||I - X K||_inf < tol — warm steady-state solves exit
-    in ~3-6 rounds while a cold start runs up to `iters`; the residual is
-    a free byproduct of the NS update itself.
+    non-contractive seeds (||I - X0 K||_inf >= 0.9, incl. the all-zeros
+    first step) fall back to the cold seed.  The trip count adapts
+    globally: if EVERY instance's seed is contractive, `warm_iters`
+    quadratic rounds suffice (residual squares each round); if any
+    instance is cold, the full `iters` run.  (An absolute residual tol is
+    useless here: the f32 floor of ||I - XK||_inf is conditioning-
+    dependent, ~0.1-0.5 for this problem family even for an exact
+    inverse.)
     """
     n = K.shape[-1]
     eye = jnp.eye(n, dtype=K.dtype)
@@ -125,30 +128,21 @@ def ns_inverse(
     X_cold = jnp.broadcast_to(eye, K.shape) / norminf[..., None, None]
     if X0 is None:
         X0 = X_cold
+        iters_eff = jnp.asarray(iters)
     else:
         R = eye - X0 @ K
         r = jnp.max(jnp.sum(jnp.abs(R), axis=-1), axis=-1)
-        X0 = jnp.where((r < 0.9)[..., None, None], X0, X_cold)
-
-    if tol is None:
-        def body(X, _):
-            return X @ (2.0 * eye - K @ X), None
-
-        X, _ = jax.lax.scan(body, X0, None, length=iters)
-        return X
+        contractive = r < 0.9
+        X0 = jnp.where(contractive[..., None, None], X0, X_cold)
+        iters_eff = jnp.where(jnp.all(contractive), warm_iters, iters)
 
     def cond(carry):
-        _, r, k = carry
-        return (r > tol) & (k < iters)
+        _, k = carry
+        return k < iters_eff
 
     def body(carry):
-        X, _, k = carry
-        Y = K @ X
-        r = jnp.max(jnp.sum(jnp.abs(eye - Y), axis=-1))   # worst inf-norm
-        X = X @ (2.0 * eye - Y)
-        return X, r, k + 1
+        X, k = carry
+        return X @ (2.0 * eye - K @ X), k + 1
 
-    X, _, _ = jax.lax.while_loop(
-        cond, body, (X0, jnp.asarray(jnp.inf, K.dtype), jnp.asarray(0))
-    )
+    X, _ = jax.lax.while_loop(cond, body, (X0, jnp.asarray(0)))
     return X

@@ -113,7 +113,7 @@ def solve(
     if cfg.kkt == "ns":
         kinv_seed = warm.kinv if warm is not None else None
         K_inv = linalg.ns_inverse(
-            K, cfg.ns_iters, X0=kinv_seed, tol=cfg.ns_tol
+            K, cfg.ns_iters, X0=kinv_seed, warm_iters=cfg.ns_warm_iters
         )
     else:
         K_inv = linalg.cho_inverse(linalg.cholesky_factor(K))

@@ -51,6 +51,24 @@ class DisturbanceParams(NamedTuple):
         return DisturbanceParams(f(0.0), f(0.0), f(0.33), f(0.0))
 
 
+class WrenchDisturbance(NamedTuple):
+    """Per-component sinusoidal 6-wrench disturbance (acceleration space):
+    w_i(t) = static_i + amp_i sin(2 pi freq_i t + phase_i) — the general
+    case of the reference's x-force-only signal; exercises the ls6
+    full-wrench estimator."""
+
+    static: jnp.ndarray   # (..., 6)
+    amp: jnp.ndarray      # (..., 6)
+    freq: jnp.ndarray     # (..., 6)
+    phase: jnp.ndarray    # (..., 6)
+
+    @staticmethod
+    def zero(batch: tuple = (), dtype=jnp.float32) -> "WrenchDisturbance":
+        z = lambda: jnp.zeros(batch + (6,), dtype)
+        return WrenchDisturbance(z(), jnp.zeros(batch + (6,), dtype),
+                                 jnp.full(batch + (6,), 0.33, dtype), z())
+
+
 class PlantState(NamedTuple):
     x: jnp.ndarray        # (..., 13) SRB state [rpy, p, omega, v, -g]
     p_feet: jnp.ndarray   # (..., 4, 3) foot positions, world
@@ -83,10 +101,14 @@ def init_plant(
 
 
 def disturbance_wrench(
-    dist: DisturbanceParams, t: jnp.ndarray, mass: float, dtype
+    dist, t: jnp.ndarray, mass: float, dtype
 ) -> jnp.ndarray:
     """(..., 6) acceleration-space wrench [tau_acc(3); lin_acc(3)]."""
     two_pi = jnp.asarray(2.0 * jnp.pi, dtype)
+    if isinstance(dist, WrenchDisturbance):
+        return dist.static + dist.amp * jnp.sin(
+            two_pi * dist.freq * t[..., None] + dist.phase
+        )
     fx = dist.static + dist.amp * jnp.sin(two_pi * dist.freq * t + dist.phase)
     zeros = jnp.zeros_like(fx)
     return jnp.stack([zeros, zeros, zeros, fx / mass, zeros, zeros], axis=-1)

@@ -196,3 +196,72 @@ def test_residual_recovers_injected_wrench():
     full = np.asarray(x_k) - np.asarray(A) @ np.asarray(x_prev) - np.asarray(B) @ u_prev
     expected = full[6:12] * np.array([-1, -1, 1, 1, 1, 1])
     np.testing.assert_allclose(np.asarray(out), expected, atol=1e-10)
+
+
+def test_ls6_full_wrench_fit():
+    """ls6: independent per-component sinusoid fits on the 6-wrench
+    (beyond the reference's f_ext[3]-only tracking)."""
+    cfg = EstimatorConfig(mode="ls6")
+    state = est.init((), window=cfg.window, dtype=jnp.float64)
+    true = {
+        1: (0.4, 0.8, 0.5),   # tau_y: stat, amp, freq
+        3: (-0.83, 1.25, 0.33),
+        4: (0.2, 0.6, 0.6),
+    }
+    for k in range(520):
+        t = k * DT
+        f_ext = np.zeros(6)
+        for c, (s, a, f) in true.items():
+            f_ext[c] = s + a * np.sin(2 * np.pi * f * t)
+        state, f_qp = est.update(
+            state, jnp.asarray(t, jnp.float64), jnp.asarray(f_ext), cfg
+        )
+    for c, (s, a, f) in true.items():
+        assert abs(float(state.est6_freq[c]) - f) < 0.02, c
+        assert abs(float(state.est6_stat[c]) - s) < 0.1, c
+        amp_hat = float(jnp.sqrt(state.est6_sin[c]**2 + state.est6_cos[c]**2))
+        assert abs(amp_hat - a) < 0.2 * a + 0.05, c
+    # untouched components stay ~zero
+    assert abs(float(state.est6_stat[0])) < 0.05
+    # released wrench reconstructs the signal at current time
+    t = 519 * DT
+    for c, (s, a, f) in true.items():
+        expect = s + a * np.sin(2 * np.pi * f * t)
+        assert abs(float(f_qp[c]) - expect) < 0.25, c
+
+
+def test_ls6_closed_loop_lateral_disturbance():
+    """Closed loop with a lateral (F_y) periodic disturbance: ls6 rejects
+    what the reference's x-only estimator cannot see."""
+    import jax
+    from quad_periodic_mpc_tpu.config import LoopConfig, MPCConfig, PDIPConfig
+    from quad_periodic_mpc_tpu.control import loop as L, mpc as M
+    from quad_periodic_mpc_tpu.ops import gait as G
+    from quad_periodic_mpc_tpu.sim import srb_sim as S
+
+    dtype = jnp.float64
+    dist = S.WrenchDisturbance.zero((), dtype)
+    dist = dist._replace(
+        static=dist.static.at[4].set(-0.6),
+        amp=dist.amp.at[4].set(1.0),
+        freq=dist.freq.at[4].set(0.4),
+    )
+
+    def run(est_cfg, n=700):
+        plant = S.init_plant((), body_height=0.29, dtype=dtype)
+        obs = S.observe(plant)
+        ctrl = M.init_state((), obs, dtype=dtype)
+        cmd = M.Command(vx=jnp.asarray(0.3, dtype), vy=jnp.asarray(0.0, dtype),
+                        yaw_rate=jnp.asarray(0.0, dtype),
+                        body_height=jnp.asarray(0.29, dtype))
+        return L.rollout(n, plant, ctrl, cmd, G.preset("trotting"), dist,
+                         MPCConfig(horizon=10), LoopConfig(), est_cfg,
+                         PDIPConfig(iterations=25))
+
+    _, tr_on = run(EstimatorConfig(mode="ls6", residual="discrete"))
+    _, tr_off = run(EstimatorConfig(freeze_after=10 ** 9))
+    vy_on = np.asarray(tr_on.x)[:, 10]
+    vy_off = np.asarray(tr_off.x)[:, 10]
+    rms_on = np.sqrt((vy_on[450:] ** 2).mean())
+    rms_off = np.sqrt((vy_off[450:] ** 2).mean())
+    assert rms_on < 0.7 * rms_off, (rms_on, rms_off)
