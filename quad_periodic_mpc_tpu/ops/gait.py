@@ -156,3 +156,85 @@ def swing_time(gait: GaitParams, dt_mpc: float) -> jnp.ndarray:
 def stance_time(gait: GaitParams, dt_mpc: float) -> jnp.ndarray:
     """(..., 4) stance duration in seconds (Gait.cpp:263-267)."""
     return dt_mpc * gait.durations.astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Mixed-frequency gaits: per-leg periods, shared duty cycle
+# ---------------------------------------------------------------------------
+
+
+class MixedGaitParams(NamedTuple):
+    """MixedFrequncyGait (Gait.cpp:26-41): each leg cycles on its OWN
+    period (in MPC segments) with a common duty cycle; legs drift in and
+    out of phase instead of holding fixed offsets."""
+
+    periods: jnp.ndarray      # (..., 4) int segments per leg
+    duty_cycle: jnp.ndarray   # (...,) stance fraction in (0, 1)
+    n_segments: jnp.ndarray   # (...,) horizon-table length
+
+
+def mixed(
+    periods=(10, 10, 10, 10), duty_cycle: float = 0.5, n_segments: int = 10,
+) -> MixedGaitParams:
+    return MixedGaitParams(
+        periods=jnp.asarray(periods, jnp.int32),
+        duty_cycle=jnp.asarray(duty_cycle, jnp.float32),
+        n_segments=jnp.asarray(n_segments, jnp.int32),
+    )
+
+
+def mixed_phase(
+    gait: MixedGaitParams, iteration: jnp.ndarray, iters_per_mpc: int
+) -> jnp.ndarray:
+    """(..., 4) per-leg phase (MixedFrequncyGait::setIterations,
+    Gait.cpp:238-245): phase_i = (it mod ipm*T_i) / (ipm*T_i)."""
+    span = iters_per_mpc * gait.periods
+    return (iteration[..., None] % span).astype(jnp.float32) / span.astype(
+        jnp.float32
+    )
+
+
+def mixed_contact_state(
+    gait: MixedGaitParams, ph: jnp.ndarray
+) -> jnp.ndarray:
+    """Stance progress in [0,1], 0 while swinging (Gait.cpp:76-100)."""
+    d = gait.duty_cycle[..., None]
+    return jnp.where(ph > d, 0.0, ph / d)
+
+
+def mixed_swing_state(gait: MixedGaitParams, ph: jnp.ndarray) -> jnp.ndarray:
+    """Swing progress in [0,1], 0 while in stance (Gait.cpp:137-157)."""
+    d = gait.duty_cycle[..., None]
+    p = ph - d
+    return jnp.where(p < 0.0, 0.0, p / (1.0 - d))
+
+
+def mixed_mpc_table(
+    gait: MixedGaitParams,
+    iteration: jnp.ndarray,
+    iters_per_mpc: int,
+    horizon: int,
+) -> jnp.ndarray:
+    """(..., horizon, 4) contact table (Gait.cpp:190-215): leg j is in
+    stance at future segment i iff (i + itr + 1) mod T_j < T_j * duty,
+    with itr the UNWRAPPED segment counter (the reference deliberately
+    drops the % nIterations here, Gait.cpp:230)."""
+    itr = iteration // iters_per_mpc
+    i = jnp.arange(horizon, dtype=jnp.int32)
+    prog = (
+        i[:, None] + itr[..., None, None] + 1
+    ) % gait.periods[..., None, :]
+    thresh = gait.periods[..., None, :].astype(jnp.float32) * gait.duty_cycle[
+        ..., None, None
+    ]
+    return (prog.astype(jnp.float32) < thresh).astype(jnp.int32)
+
+
+def mixed_swing_time(gait: MixedGaitParams, dt_mpc: float) -> jnp.ndarray:
+    """(..., 4) seconds of swing per leg (Gait.cpp:258-261)."""
+    return dt_mpc * (1.0 - gait.duty_cycle[..., None]) * gait.periods
+
+
+def mixed_stance_time(gait: MixedGaitParams, dt_mpc: float) -> jnp.ndarray:
+    """(..., 4) seconds of stance per leg (Gait.cpp:269-272)."""
+    return dt_mpc * gait.duty_cycle[..., None] * gait.periods
