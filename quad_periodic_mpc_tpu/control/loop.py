@@ -34,6 +34,88 @@ class RolloutCarry(NamedTuple):
     ctrl: mpc_ctrl.ControllerState
 
 
+class TickBalanceGains(NamedTuple):
+    """Per-tick stance-force correction gains (the SRB-tier analog of the
+    500 Hz WBC layer, WBC_Ctrl.cpp:60-205: between 38.5 Hz MPC solves the
+    reference re-stabilizes attitude/height every control tick; without
+    it, laterally-paired gaits like pacing are roll-unstable over a 13-
+    tick zero-order hold).  A PD wrench on the tracking error is mapped
+    to stance-foot force deltas through the ridge-regularized grasp map
+    — one batched 6x6 solve per tick."""
+
+    kp_ori: tuple = (150.0, 120.0, 40.0)   # N*m/rad roll, pitch, yaw
+    kd_ori: tuple = (20.0, 15.0, 8.0)      # N*m*s/rad
+    kp_pos: tuple = (0.0, 60.0, 600.0)     # N/m  (x left to MPC)
+    kd_pos: tuple = (20.0, 20.0, 60.0)     # N*s/m
+    ridge: float = 1e-2
+
+
+def _tick_balance_correction(
+    gains: TickBalanceGains,
+    obs: mpc_ctrl.Observation,
+    ctrl: mpc_ctrl.ControllerState,
+    cmd: mpc_ctrl.Command,
+    stance: jnp.ndarray,          # (..., 4)
+    f_mpc: jnp.ndarray,           # (..., 4, 3) world MPC forces
+    mpc_cfg: MPCConfig,
+) -> jnp.ndarray:
+    """Stance-force delta from the PD wrench via the masked grasp map."""
+    from quad_periodic_mpc_tpu.ops.rotations import quat_to_rpy
+
+    dtype = f_mpc.dtype
+    rpy = quat_to_rpy(obs.quat)
+    yaw = rpy[..., 2]
+    # desired: flat attitude at the integrated yaw, commanded height/vel
+    yaw_err = ctrl.yaw_des - yaw
+    yaw_err = jnp.arctan2(jnp.sin(yaw_err), jnp.cos(yaw_err))
+    e_ori = jnp.stack([-rpy[..., 0], -rpy[..., 1], yaw_err], axis=-1)
+    w_des = jnp.stack(
+        [jnp.zeros_like(yaw), jnp.zeros_like(yaw), cmd.yaw_rate], axis=-1
+    )
+    cy, sy = jnp.cos(yaw), jnp.sin(yaw)
+    v_des = jnp.stack(
+        [ctrl.x_vel_des * cy - ctrl.y_vel_des * sy,
+         ctrl.x_vel_des * sy + ctrl.y_vel_des * cy,
+         jnp.zeros_like(yaw)], axis=-1,
+    )
+    p_des = ctrl.world_position_desired.at[..., 2].set(cmd.body_height)
+    kp_o = jnp.asarray(gains.kp_ori, dtype)
+    kd_o = jnp.asarray(gains.kd_ori, dtype)
+    kp_p = jnp.asarray(gains.kp_pos, dtype)
+    kd_p = jnp.asarray(gains.kd_pos, dtype)
+    d_force = kp_p * (p_des - obs.p) + kd_p * (v_des - obs.v)
+    d_torque = kp_o * e_ori + kd_o * (w_des - obs.omega)
+    dw = jnp.concatenate([d_force, d_torque], axis=-1)     # (..., 6)
+
+    # masked grasp map G (..., 6, 12): [I3; r_i x] per stance foot
+    r = (obs.p_feet - obs.p[..., None, :]) * stance[..., None]
+    eye = jnp.eye(3, dtype=dtype)
+    m = stance[..., None, None] * eye                       # (..., 4, 3, 3)
+    zeros = jnp.zeros_like(r[..., 0])
+    rx = jnp.stack(
+        [jnp.stack([zeros, -r[..., 2], r[..., 1]], -1),
+         jnp.stack([r[..., 2], zeros, -r[..., 0]], -1),
+         jnp.stack([-r[..., 1], r[..., 0], zeros], -1)], axis=-2,
+    )                                                       # (..., 4, 3, 3)
+    batch = r.shape[:-2]
+    Gf = jnp.swapaxes(m, -3, -2).reshape(batch + (3, 12))   # force rows
+    Gt = jnp.swapaxes(rx, -3, -2).reshape(batch + (3, 12))  # torque rows
+    G = jnp.concatenate([Gf, Gt], axis=-2)                  # (..., 6, 12)
+
+    GGt = jnp.einsum("...ik,...jk->...ij", G, G)
+    A = GGt + gains.ridge * jnp.eye(6, dtype=dtype)
+    lam = jnp.linalg.solve(A, dw[..., None])[..., 0]
+    df = jnp.einsum("...ik,...i->...k", G, lam).reshape(f_mpc.shape)
+
+    f = f_mpc + df
+    # friction/cone clamp (SafetyChecker::checkForceFeedForward analog)
+    fz = jnp.clip(f[..., 2], 0.0, mpc_cfg.f_max) * stance
+    lim = mpc_cfg.mu * fz
+    fx = jnp.clip(f[..., 0], -lim, lim)
+    fy = jnp.clip(f[..., 1], -lim, lim)
+    return jnp.stack([fx, fy, fz], axis=-1)
+
+
 class RolloutTrace(NamedTuple):
     """Per-MPC-step telemetry (LogData analog)."""
 
@@ -57,8 +139,16 @@ def rollout(
     solver: ADMMConfig | PDIPConfig,
     model: RobotModel = A1,
     swing_cfg: SwingConfig = SwingConfig(),
+    tick_balance: TickBalanceGains | None = None,
 ) -> tuple[RolloutCarry, RolloutTrace]:
-    """Run n_mpc_steps MPC periods (each = iterations_between_mpc ticks)."""
+    """Run n_mpc_steps MPC periods (each = iterations_between_mpc ticks).
+
+    With `tick_balance`, stance forces get a per-tick PD wrench correction
+    between MPC solves (see TickBalanceGains) — required for gaits whose
+    support polygon degenerates to a line (pacing) or to flight phases
+    (trot_running), exactly the cases the reference cannot run MPC-only
+    either (it always layers WBC at 500 Hz, FSM_State_Locomotion.cpp:267).
+    """
 
     def control_tick(carry: RolloutCarry, do_mpc: bool):
         plant, ctrl = carry
@@ -75,8 +165,13 @@ def rollout(
             loop_cfg.swing_height,
         )
         stance = (out.swing_state <= 0).astype(plant.x.dtype)
+        forces = out.fr_des
+        if tick_balance is not None:
+            forces = _tick_balance_correction(
+                tick_balance, obs, ctrl, cmd, stance, forces, mpc_cfg
+            )
         plant = srb_sim.step(
-            plant, out.fr_des, out.p_foot_des, stance, dist, mpc_cfg,
+            plant, forces, out.p_foot_des, stance, dist, mpc_cfg,
             loop_cfg.dt,
         )
         return RolloutCarry(plant, ctrl)

