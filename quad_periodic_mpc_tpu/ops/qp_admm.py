@@ -59,7 +59,11 @@ class ADMMState(NamedTuple):
     x: jnp.ndarray
     z: jnp.ndarray
     y: jnp.ndarray
-    kinv: jnp.ndarray | None = None   # carried K^{-1} (ns warm start)
+    # Carried inverse for Newton-Schulz warm starts.  On the "ns" backend
+    # this is K0^{-1}, the UNIFORM-rho base inverse (gait-independent
+    # structure — see _kkt_inverse_woodbury); on "cholesky" it is the full
+    # K^{-1} (unused for warm starts there).
+    kinv: jnp.ndarray | None = None
 
 
 def rho_vector(l: jnp.ndarray, u: jnp.ndarray, cfg: ADMMConfig) -> jnp.ndarray:
@@ -102,21 +106,20 @@ def solve(
     """Run cfg.iterations fixed ADMM steps; returns (x, final state).
 
     Fully batched over leading dims of qp; jit/vmap/shard_map safe.
-    When warm.kinv carries the previous MPC step's K^{-1} (K drifts
-    slowly between control ticks), the adaptive Newton-Schulz loop exits
-    after a few GEMM rounds (ns_tol residual gate) instead of the full
-    ns_iters; the per-iteration refinement in the x-update absorbs the
-    residual inexactness.  The returned state carries the fresh K^{-1}.
+    On the "ns" backend, warm.kinv carries the previous MPC step's
+    uniform-rho base inverse K0^{-1}: K0 drifts only with P (never with
+    the gait table), so the seed stays contractive across stance<->swing
+    flips and the adaptive Newton-Schulz trip count stays at
+    ns_warm_iters in steady state; the eq_scale rho bump is then restored
+    exactly by a low-rank Woodbury correction (_kkt_inverse_woodbury).
     """
     rho = rho_vector(qp.l, qp.u, cfg)
-    K = build_kkt(qp, rho, cfg)
+    K = build_kkt(qp, rho, cfg) if (cfg.kkt != "ns" or cfg.refine) else None
     if cfg.kkt == "ns":
-        kinv_seed = warm.kinv if warm is not None else None
-        K_inv = linalg.ns_inverse(
-            K, cfg.ns_iters, X0=kinv_seed, warm_iters=cfg.ns_warm_iters
-        )
+        K_inv, kinv_carry = _kkt_inverse_woodbury(qp, rho, cfg, warm)
     else:
         K_inv = linalg.cho_inverse(linalg.cholesky_factor(K))
+        kinv_carry = K_inv
 
     n = qp.P.shape[-1]
     m = qp.l.shape[-1]
@@ -153,8 +156,88 @@ def solve(
     (x_f, z_f, y_f), _ = jax.lax.scan(
         step, (warm.x, warm.z, warm.y), None, length=cfg.iterations
     )
-    final = ADMMState(x=x_f, z=z_f, y=y_f, kinv=K_inv)
+    final = ADMMState(x=x_f, z=z_f, y=y_f, kinv=kinv_carry)
     return final.x, final
+
+
+def _kkt_inverse_woodbury(
+    qp: QPData,
+    rho: jnp.ndarray,
+    cfg: ADMMConfig,
+    warm: ADMMState | None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """K^{-1} as a gait-independent base inverse + exact low-rank update.
+
+    The eq_scale rho bump lands only on fz rows (l == u swing pins), and
+    the fz pyramid row is (0, 0, 1) — so relative to the UNIFORM-rho
+    KKT matrix K0,
+
+        K = K0 + E diag(delta) E^T,   E = z-variable selector (n x k),
+        delta_k = (eq_scale - 1) rho  on swing blocks, else 0.
+
+    K0's structure never depends on the gait table (it drifts only with
+    P), so the previous control tick's K0^{-1} is ALWAYS a contractive
+    Newton-Schulz seed and the warm 3-round trip count fires every step —
+    with the old direct-K approach a single stance<->swing flip anywhere
+    in the batch forced the full cold 30 rounds (the global all() gate).
+    The bump is then restored exactly via Woodbury:
+
+        K^{-1} = K0^{-1} - B M B^T,  B = K0^{-1} E,
+        M = (I + diag(delta) S)^{-1} diag(delta),  S = E^T K0^{-1} E,
+
+    one batched k x k solve (k = 4h) + two slim GEMMs.  Returns
+    (K^{-1}, K0^{-1}-to-carry).
+    """
+    n = qp.P.shape[-1]
+    a = qp.F.shape[-1]
+    c = qp.F.shape[-2]
+    k = n // a
+    dtype = qp.P.dtype
+
+    rho_u = jnp.full_like(rho, cfg.rho)
+    K0 = build_kkt(qp, rho_u, cfg)
+    kinv_seed = warm.kinv if warm is not None else None
+    K0_inv = linalg.ns_inverse(
+        K0, cfg.ns_iters, X0=kinv_seed, warm_iters=cfg.ns_warm_iters
+    )
+    if cfg.eq_scale == 1.0:
+        return K0_inv, K0_inv
+
+    # per-block bump: delta_k = sum of (rho - rho_u) weighted by F z-row
+    # squares; for the pyramid only the fz row (0,0,1) hits z, so this is
+    # exactly (eq_scale - 1) * rho on swing blocks.
+    fz2 = qp.F[..., :, a - 1] ** 2                        # (c,)
+    delta = jnp.einsum(
+        "...kc,c->...k", (rho - rho_u).reshape(rho.shape[:-1] + (k, c)), fz2
+    )                                                     # (..., k)
+
+    zidx = jnp.arange(a - 1, n, a)                        # z-variable columns
+    B = K0_inv[..., :, zidx]                              # (..., n, k)
+    S = B[..., zidx, :]                                   # (..., k, k)
+    eye_k = jnp.eye(k, dtype=dtype)
+
+    # Symmetrized form: W = I + D^{1/2} S D^{1/2} is SPD with spectrum in
+    # [1, 1 + ||D^{1/2} S D^{1/2}||] — inverted by a fixed Newton-Schulz
+    # loop (batched LU on TPU is slow and axon-fragile).  Everything here
+    # runs at HIGHEST (true f32) matmul precision: the correction cancels
+    # K0^{-1}'s large z-block down to the ~1/(rho eq_scale) bumped value,
+    # and the TPU's default bf16-input matmul turns that cancellation
+    # into garbage (ADMM then diverges on the pinned rows).
+    hi = jax.lax.Precision.HIGHEST
+    dh = jnp.sqrt(delta)
+    W = eye_k + dh[..., :, None] * S * dh[..., None, :]
+    norm = jnp.max(jnp.sum(jnp.abs(W), axis=-1), axis=-1)
+    X = jnp.broadcast_to(eye_k, W.shape) / norm[..., None, None]
+    for _ in range(16):  # residual squares per round: 16 rounds >> f32 floor
+        KX = jnp.einsum("...ij,...jk->...ik", W, X, precision=hi)
+        X = jnp.einsum(
+            "...ij,...jk->...ik", X, 2.0 * eye_k - KX, precision=hi
+        )
+    Bd = B * dh[..., None, :]                             # B D^{1/2}
+    K_inv = K0_inv - jnp.einsum(
+        "...ik,...kl,...jl->...ij", Bd, X, Bd, precision=hi
+    )
+    return K_inv, K0_inv
 
 
 def kkt_residuals(
