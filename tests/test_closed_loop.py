@@ -123,6 +123,7 @@ def test_batched_rollout_matches_single():
     [
         ("walking", 16), ("walking2", 16),
         ("pacing", 10), ("trot_running", 10),
+        ("galloping", 10), ("bounding", 10),
     ],
 )
 def test_other_gaits_hold_height(gait_name, period):
@@ -132,8 +133,9 @@ def test_other_gaits_hold_height(gait_name, period):
     x = np.asarray(tr.x)
     assert abs(x[-1, 5] - 0.29) < 0.05
     assert abs(x[40:, 9].mean() - 0.2) < 0.08
-    # pacing rides a roll limit cycle on its line support — wider bound
-    rp_tol = 0.3 if gait_name == "pacing" else 0.2
+    # pacing rides a roll limit cycle on its line support (and bounding a
+    # pitch cycle on its pair support) — wider bound for those
+    rp_tol = 0.3 if gait_name in ("pacing", "bounding") else 0.2
     assert np.abs(x[-1, 0:2]).max() < rp_tol
 
 
