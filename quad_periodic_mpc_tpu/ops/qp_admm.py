@@ -227,16 +227,20 @@ def _kkt_inverse_woodbury(
     dh = jnp.sqrt(delta)
     W = eye_k + dh[..., :, None] * S * dh[..., None, :]
     norm = jnp.max(jnp.sum(jnp.abs(W), axis=-1), axis=-1)
-    X = jnp.broadcast_to(eye_k, W.shape) / norm[..., None, None]
-    for _ in range(16):  # residual squares per round: 16 rounds >> f32 floor
+    X0 = jnp.broadcast_to(eye_k, W.shape) / norm[..., None, None]
+
+    def ns_round(_, X):
         KX = jnp.einsum("...ij,...jk->...ik", W, X, precision=hi)
-        X = jnp.einsum(
+        return jnp.einsum(
             "...ij,...jk->...ik", X, 2.0 * eye_k - KX, precision=hi
         )
+
+    # 16 quadratic rounds: residual squares each round, covering a cold
+    # start at cond(W) up to ~1e3 well past the f32 floor.
+    X = jax.lax.fori_loop(0, 16, ns_round, X0)
     Bd = B * dh[..., None, :]                             # B D^{1/2}
-    K_inv = K0_inv - jnp.einsum(
-        "...ik,...kl,...jl->...ij", Bd, X, Bd, precision=hi
-    )
+    XBt = jnp.einsum("...kl,...jl->...kj", X, Bd, precision=hi)
+    K_inv = K0_inv - jnp.einsum("...ik,...kj->...ij", Bd, XBt, precision=hi)
     return K_inv, K0_inv
 
 
