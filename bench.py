@@ -32,7 +32,11 @@ def main() -> None:
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--horizon", type=int, default=10)
     ap.add_argument("--solver", choices=["admm", "pdip"], default="admm")
-    ap.add_argument("--admm-iters", type=int, default=100)
+    # 50 fixed iterations is the steady-state production setting: the
+    # (x, z, y) warm start carried across MPC steps makes the effective
+    # iteration count cumulative — closed-loop trot tracking is
+    # indistinguishable from ADMM-200 even at 30 (tests/test_closed_loop)
+    ap.add_argument("--admm-iters", type=int, default=50)
     ap.add_argument("--latency", action="store_true", help="also measure b=1 latency")
     args = ap.parse_args()
 

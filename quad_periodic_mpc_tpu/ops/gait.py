@@ -44,7 +44,17 @@ def _preset_tables(period: int) -> dict[str, tuple[tuple[int, ...], tuple[int, .
         "walking": ((2 * p // 4, 0, p // 4, 3 * p // 4), (int(0.75 * p),) * 4),
         "walking2": ((0, 5, 5, 0), (7, 7, 7, 7)),
         "pacing": ((5, 0, 5, 0), (5, 5, 5, 5)),
+        # CMPC-driver extras (CMPC_Locomotion.cpp:52-70)
+        "trot_long": ((0, 16, 16, 0), (24, 24, 24, 24)),   # fixed period 32
+        "trot_contact": ((0, p // 2, p // 2, 0), (p // 4,) * 4),
+        "give_hand": ((0, 0, 0, 0), (p,) * 4),
+        "two_leg_balance": ((0, 0, 0, 0), (p, p, p, 0)),
     }
+
+
+# Gaits whose period is hardwired in the reference regardless of the
+# gait_period dyn param (_gait_period_long = 32, CMPC_Locomotion.cpp:46)
+_FIXED_PERIODS: dict[str, int] = {"trot_long": 32}
 
 
 DEFAULT_PERIOD = 16
@@ -59,6 +69,7 @@ GAIT_NUMBERS: dict[int, str] = {
 
 
 def preset(name: str, period: int = DEFAULT_PERIOD, dtype=jnp.int32) -> GaitParams:
+    period = _FIXED_PERIODS.get(name, period)
     off, dur = _preset_tables(period)[name]
     return GaitParams(
         offsets=jnp.asarray(off, dtype),
@@ -103,7 +114,12 @@ def contact_state(gait: GaitParams, ph: jnp.ndarray) -> jnp.ndarray:
     offset = jnp.where(offset < 0, offset + 1.0, offset)
     progress = ph[..., None] - offset
     progress = jnp.where(progress < 0, progress + 1.0, progress)
-    return jnp.where(progress > duration, 0.0, progress / duration)
+    # duration 0 = always-swing leg (two_leg_balance): guard the 0/0
+    return jnp.where(
+        (progress > duration) | (duration <= 0.0),
+        0.0,
+        progress / jnp.where(duration > 0, duration, 1.0),
+    )
 
 
 def swing_state(gait: GaitParams, ph: jnp.ndarray) -> jnp.ndarray:

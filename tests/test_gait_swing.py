@@ -24,7 +24,7 @@ def ref_gait_state(offsets, durations, nseg, iteration, iters_per_mpc):
         pr = phase - o
         if pr < 0:
             pr += 1.0
-        contact[i] = 0.0 if pr > dur_f[i] else pr / dur_f[i]
+        contact[i] = 0.0 if (dur_f[i] <= 0 or pr > dur_f[i]) else pr / dur_f[i]
 
     sw = np.zeros(4)
     for i in range(4):
@@ -56,11 +56,12 @@ def ref_mpc_table(offsets, durations, nseg, seg, horizon):
 @pytest.mark.parametrize("iteration", [0, 7, 13, 100, 207, 4095])
 def test_gait_matches_reference_math(name, iteration):
     g = gait_ops.preset(name)
-    off, dur = gait_ops.PRESET_GAITS[name]
+    nseg = int(g.n_segments)          # trot_long pins its own period (32)
+    off, dur = gait_ops._preset_tables(nseg)[name]
     it = jnp.asarray(iteration, jnp.int32)
     ph = gait_ops.phase(g, it, 13)
     seg = gait_ops.segment_index(g, it, 13)
-    ref_ph, ref_seg, ref_c, ref_s = ref_gait_state(off, dur, 16, iteration, 13)
+    ref_ph, ref_seg, ref_c, ref_s = ref_gait_state(off, dur, nseg, iteration, 13)
     assert abs(float(ph) - ref_ph) < 1e-6
     assert int(seg) == ref_seg
     np.testing.assert_allclose(
@@ -71,7 +72,7 @@ def test_gait_matches_reference_math(name, iteration):
     )
     np.testing.assert_array_equal(
         np.asarray(gait_ops.mpc_table(g, seg, 10)),
-        ref_mpc_table(off, dur, 16, ref_seg, 10),
+        ref_mpc_table(off, dur, nseg, ref_seg, 10),
     )
 
 
