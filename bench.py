@@ -38,6 +38,10 @@ def main() -> None:
     # indistinguishable from ADMM-200 even at 30 (tests/test_closed_loop)
     ap.add_argument("--admm-iters", type=int, default=50)
     ap.add_argument("--latency", action="store_true", help="also measure b=1 latency")
+    # SURVEY.md §5 tracing analog (the reference's SHOW_MPC_SOLVE_TIME /
+    # Timer stopwatches): full profiler timeline of one measured step.
+    ap.add_argument("--profile", default="", metavar="DIR",
+                    help="write a jax.profiler trace of one step to DIR")
     args = ap.parse_args()
 
     import jax
@@ -127,6 +131,15 @@ def main() -> None:
         print(f"batch {b}: {sps:,.0f} solves/s", file=sys.stderr)
         if sps > best:
             best, best_b = sps, b
+
+    if args.profile:
+        ctrl, obs, cmd, gait, t = make_inputs(best_b or 2048)
+        ctrl, f = step_jit(ctrl, obs, cmd, gait, t)
+        float(jnp.sum(f))                     # compile + settle
+        with jax.profiler.trace(args.profile):
+            ctrl, f = step_jit(ctrl, obs, cmd, gait, t)
+            float(jnp.sum(f))
+        print(f"profiler trace written to {args.profile}", file=sys.stderr)
 
     if args.latency:
         ctrl, obs, cmd, gait, t = make_inputs(1)
