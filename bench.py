@@ -37,6 +37,10 @@ def main() -> None:
     # iteration count cumulative — closed-loop trot tracking is
     # indistinguishable from ADMM-200 even at 30 (tests/test_closed_loop)
     ap.add_argument("--admm-iters", type=int, default=50)
+    # pallas = fused bf16-K^{-1} iteration kernel, the production TPU path
+    # (1.9x the XLA GEMV loop; docs/PERFORMANCE.md)
+    ap.add_argument("--backend", choices=["xla", "pallas"], default="pallas",
+                    help="ADMM iteration-loop backend")
     ap.add_argument("--latency", action="store_true", help="also measure b=1 latency")
     # SURVEY.md §5 tracing analog (the reference's SHOW_MPC_SOLVE_TIME /
     # Timer stopwatches): full profiler timeline of one measured step.
@@ -65,7 +69,7 @@ def main() -> None:
     loop_cfg = LoopConfig()
     est_cfg = EstimatorConfig()
     solver = (
-        ADMMConfig(iterations=args.admm_iters)
+        ADMMConfig(iterations=args.admm_iters, backend=args.backend)
         if args.solver == "admm"
         else PDIPConfig(iterations=25)
     )

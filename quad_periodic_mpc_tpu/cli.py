@@ -37,7 +37,7 @@ def cmd_rollout(args) -> None:
     )
     solver = (
         PDIPConfig(iterations=25) if args.solver == "pdip"
-        else ADMMConfig(iterations=args.solver_iters)
+        else ADMMConfig(iterations=args.solver_iters, backend=args.backend)
     )
 
     plant = S.init_plant((), body_height=0.29, dtype=dtype)
@@ -132,6 +132,8 @@ def main(argv=None) -> None:
     r.add_argument("--estimator", choices=["faithful", "ls"], default="ls")
     r.add_argument("--solver", choices=["admm", "pdip"], default="pdip")
     r.add_argument("--solver-iters", type=int, default=200)
+    r.add_argument("--backend", choices=["xla", "pallas"], default="xla",
+                   help="ADMM iteration-loop backend (pallas = fused TPU kernel)")
     r.add_argument("--f64", action="store_true")
     r.set_defaults(fn=cmd_rollout)
 

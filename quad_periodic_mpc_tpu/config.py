@@ -84,6 +84,14 @@ class ADMMConfig:
     # unnecessary at ns_tol <= 1e-2 (f32 solve error ~1 mN either way);
     # enable only for ill-conditioned custom weight sets.
     refine: int = 0
+    # Iteration-loop backend: "xla" = lax.scan of batched GEMVs (HBM-bound:
+    # re-reads K^{-1} every iteration); "pallas" = fused kernel with
+    # K^{-1} VMEM-resident in bf16 across all iterations (1.9x faster on
+    # v5e at batch 2048).  The bf16 operator leaves a ~0.4% relative bias
+    # on a SINGLE cold solve; under the carried warm start the closed-loop
+    # fixed point re-contracts every MPC step, leaving force errors well
+    # below actuator/estimator noise (test_pallas_admm closed-loop check).
+    backend: str = "xla"
     # Constraint-type-dependent rho scaling (OSQP "rho_eq" analog): rows
     # whose bounds pin z (l == u) get rho * eq_scale.
     eq_scale: float = 1e3

@@ -31,6 +31,10 @@ from jax.experimental.pallas import tpu as pltpu
 from quad_periodic_mpc_tpu.config import ADMMConfig
 
 CHUNK = 64   # Kinv VMEM block 3.7MB -> fits with double buffering
+# bf16 Kinv storage: full 128-lane chunks at the same VMEM budget (the
+# f32 64-lane layout wastes half the VPU); x-update accumulates in f32.
+# Operator error ~2^-8 relative — see fused parity test for the bound.
+BF16_CHUNK = 128
 
 
 def _dense_constraint_matrix(F: np.ndarray, h: int) -> np.ndarray:
@@ -84,7 +88,7 @@ def _kernel(
         x_t = jnp.zeros_like(x)
         for b in range(0, n, JB):
             jb = min(JB, n - b)
-            kb = kinv_ref[0, :, b : b + jb, :]       # (n, jb, C)
+            kb = kinv_ref[0, :, b : b + jb, :].astype(jnp.float32)
             rb = rhs[b : b + jb, :][None, :, :]      # (1, jb, C)
             x_t = x_t + jnp.sum(kb * rb, axis=1)
         x_new = a * x_t + (1.0 - a) * x
@@ -103,7 +107,8 @@ def _kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("iters", "sigma", "over_relax", "interpret")
+    jax.jit,
+    static_argnames=("iters", "sigma", "over_relax", "interpret", "kinv_bf16"),
 )
 def fused_admm_iterations(
     K_inv: jnp.ndarray,     # (B, n, n)
@@ -119,16 +124,20 @@ def fused_admm_iterations(
     sigma: float = 1e-6,
     over_relax: float = 1.6,
     interpret: bool = False,
+    kinv_bf16: bool = False,
 ):
     """Run the OSQP iteration with VMEM-resident K^{-1}.
 
     Returns (x, z, y) with shapes matching the inputs.  B is padded to a
-    multiple of CHUNK internally.
+    multiple of the chunk size internally.  kinv_bf16 stores K^{-1} in
+    VMEM as bf16 with 128-lane chunks (full VPU width at half the VMEM),
+    accumulating the x-update in f32.
     """
+    C = BF16_CHUNK if kinv_bf16 else CHUNK
     B, n = q.shape
     m = l.shape[-1]
     h = n // 12
-    pad = (-B) % CHUNK
+    pad = (-B) % C
     if pad:
         padv = lambda t: jnp.concatenate(
             [t, jnp.repeat(t[-1:], pad, axis=0)], axis=0
@@ -137,16 +146,18 @@ def fused_admm_iterations(
             padv, (K_inv, q, l, u, rho, x0, z0, y0)
         )
     Bp = q.shape[0]
-    nc = Bp // CHUNK
+    nc = Bp // C
 
     # instance-in-lane layout: (nc, n, n, C) etc.
     def to_lanes(t):
         extra = t.shape[1:]
         return jnp.moveaxis(
-            t.reshape((nc, CHUNK) + extra), 1, -1
+            t.reshape((nc, C) + extra), 1, -1
         )
 
     K_t = to_lanes(K_inv)
+    if kinv_bf16:
+        K_t = K_t.astype(jnp.bfloat16)
     q_t, l_t, u_t, rho_t = map(to_lanes, (q, l, u, rho))
     x_t, z_t, y_t = map(to_lanes, (x0, z0, y0))
 
@@ -169,26 +180,26 @@ def fused_admm_iterations(
         kernel,
         grid=grid,
         in_specs=[
-            chunk_spec(1, n, n, CHUNK),
-            chunk_spec(1, n, CHUNK),
-            chunk_spec(1, m, CHUNK),
-            chunk_spec(1, m, CHUNK),
-            chunk_spec(1, m, CHUNK),
-            chunk_spec(1, n, CHUNK),
-            chunk_spec(1, m, CHUNK),
-            chunk_spec(1, m, CHUNK),
+            chunk_spec(1, n, n, C),
+            chunk_spec(1, n, C),
+            chunk_spec(1, m, C),
+            chunk_spec(1, m, C),
+            chunk_spec(1, m, C),
+            chunk_spec(1, n, C),
+            chunk_spec(1, m, C),
+            chunk_spec(1, m, C),
             shared_spec(m, n),
             shared_spec(n, m),
         ],
         out_specs=[
-            chunk_spec(1, n, CHUNK),
-            chunk_spec(1, m, CHUNK),
-            chunk_spec(1, m, CHUNK),
+            chunk_spec(1, n, C),
+            chunk_spec(1, m, C),
+            chunk_spec(1, m, C),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((nc, n, CHUNK), jnp.float32),
-            jax.ShapeDtypeStruct((nc, m, CHUNK), jnp.float32),
-            jax.ShapeDtypeStruct((nc, m, CHUNK), jnp.float32),
+            jax.ShapeDtypeStruct((nc, n, C), jnp.float32),
+            jax.ShapeDtypeStruct((nc, m, C), jnp.float32),
+            jax.ShapeDtypeStruct((nc, m, C), jnp.float32),
         ],
         interpret=interpret,
     )(K_t, q_t, l_t, u_t, rho_t, x_t, z_t, y_t, A_dense, At_dense)

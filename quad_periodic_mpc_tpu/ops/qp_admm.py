@@ -132,6 +132,28 @@ def solve(
             y=jnp.zeros(batch + (m,), dtype),
         )
 
+    if cfg.backend == "pallas":
+        from quad_periodic_mpc_tpu.ops.pallas import admm_kernel
+
+        lead = qp.q.shape[:-1]
+        flat = lambda t: t.reshape((-1,) + t.shape[len(lead):]).astype(
+            jnp.float32
+        )
+        x_f, z_f, y_f = admm_kernel.fused_admm_iterations(
+            K_inv.reshape((-1, n, n)).astype(jnp.float32),
+            flat(qp.q), flat(qp.l), flat(qp.u), flat(rho),
+            qp.F.astype(jnp.float32),
+            flat(warm.x), flat(warm.z), flat(warm.y),
+            iters=cfg.iterations, sigma=cfg.sigma,
+            over_relax=cfg.over_relax, kinv_bf16=True,
+            interpret=jax.default_backend() == "cpu",
+        )
+        x_f = x_f.reshape(lead + (n,)).astype(dtype)
+        z_f = z_f.reshape(lead + (m,)).astype(dtype)
+        y_f = y_f.reshape(lead + (m,)).astype(dtype)
+        final = ADMMState(x=x_f, z=z_f, y=y_f, kinv=kinv_carry)
+        return final.x, final
+
     sigma = jnp.asarray(cfg.sigma, dtype)
     a = jnp.asarray(cfg.over_relax, dtype)
     rho_inv = 1.0 / rho
