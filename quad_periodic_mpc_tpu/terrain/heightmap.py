@@ -83,31 +83,88 @@ def sample(grid: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
 
 def fuse_points(
     hm: HeightMap,
-    points: jnp.ndarray,       # (..., n, 3) world points
-    meas_variance: jnp.ndarray # (..., n)
+    points: jnp.ndarray,        # (..., n, 3) world points
+    meas_variance: jnp.ndarray, # (..., n)
+    mahalanobis_threshold: float = 0.0,
+    multi_height_noise: float = 9e-7,
 ) -> HeightMap:
     """Precision-weighted Kalman fusion of point measurements into cells
     (the scalar-KF update of ElevationMap::add, batched + scattered):
 
       1/var' = 1/var + sum 1/var_m;  h' = var' (h/var + sum z/var_m)
+
+    With mahalanobis_threshold > 0, reproduces the reference's
+    multi-height handling (ElevationMap.cpp:152-166): points whose
+    |z - h| / sqrt(var) exceeds the threshold do NOT fuse — a higher
+    outlier point REPLACES the cell (new surface appeared), a lower one
+    only inflates the cell variance by multi_height_noise (slow decay
+    toward re-acceptance).  Scatter-friendly reformulation: fusion,
+    noise bumps, and replacement are three independent scatter passes
+    (replacement, a scatter-max, wins last — the same steady state the
+    reference's sequential per-point loop converges to).
     """
     H = hm.elevation.shape[-2]
     W = hm.elevation.shape[-1]
     idx = world_to_index(hm, points[..., 0:2])
     flat = idx[..., 0] * W + idx[..., 1]                     # (..., n)
+    gshape = hm.elevation.shape[:-2] + (H * W,)
+    h_old = hm.elevation.reshape(gshape)
+    var_old = hm.variance.reshape(gshape)
 
+    z = points[..., 2]
     w = 1.0 / meas_variance
-    zeros = jnp.zeros(hm.elevation.shape[:-2] + (H * W,), hm.elevation.dtype)
-    dnum = _batched_scatter_add(zeros, flat, points[..., 2] * w)
-    dden = _batched_scatter_add(zeros, flat, w)
+    if mahalanobis_threshold > 0.0:
+        h_at = jnp.take_along_axis(h_old, flat, axis=-1)
+        var_at = jnp.take_along_axis(var_old, flat, axis=-1)
+        maha = jnp.abs(z - h_at) / jnp.sqrt(var_at)
+        outlier = maha > mahalanobis_threshold
+        higher = outlier & (z > h_at)
+        lower = outlier & ~higher
+        w_fuse = jnp.where(outlier, 0.0, w)
+    else:
+        higher = lower = jnp.zeros(z.shape, bool)
+        w_fuse = w
 
-    prec_old = 1.0 / hm.variance.reshape(hm.variance.shape[:-2] + (H * W,))
-    h_old = hm.elevation.reshape(hm.elevation.shape[:-2] + (H * W,))
-    prec_new = prec_old + dden
-    h_new = (h_old * prec_old + dnum) / prec_new
+    zeros = jnp.zeros(gshape, hm.elevation.dtype)
+    dnum = _batched_scatter_add(zeros, flat, z * w_fuse)
+    dden = _batched_scatter_add(zeros, flat, w_fuse)
+
+    prec_new = 1.0 / var_old + dden
+    h_new = (h_old / var_old + dnum) / prec_new
+    var_new = 1.0 / prec_new
+
+    if mahalanobis_threshold > 0.0:
+        # variance bump for rejected-lower points
+        var_new = var_new + _batched_scatter_add(
+            zeros, flat, jnp.where(lower, multi_height_noise, 0.0)
+        )
+        # higher-outlier replacement: scatter-max of candidate heights
+        neg_inf = jnp.asarray(-jnp.inf, h_new.dtype)
+        cand = jnp.where(higher, z, neg_inf)
+        repl = zeros + neg_inf
+        repl = repl.at[
+            _batch_index(repl.shape[:-1], flat) + (flat,)
+        ].max(cand)
+        replaced = repl > neg_inf
+        meas_var_grid = jnp.full(gshape, jnp.inf, hm.variance.dtype).at[
+            _batch_index(gshape[:-1], flat) + (flat,)
+        ].min(jnp.where(higher, meas_variance, jnp.inf))
+        h_new = jnp.where(replaced, repl, h_new)
+        var_new = jnp.where(replaced, meas_var_grid, var_new)
+
     return hm._replace(
         elevation=h_new.reshape(hm.elevation.shape),
-        variance=(1.0 / prec_new).reshape(hm.variance.shape),
+        variance=var_new.reshape(hm.variance.shape),
+    )
+
+
+def _batch_index(batch_shape, flat_idx):
+    """Leading-dim index arrays matching flat_idx for .at[] updates."""
+    return tuple(
+        jnp.arange(s).reshape(
+            (1,) * i + (s,) + (1,) * (flat_idx.ndim - i - 1)
+        )
+        for i, s in enumerate(batch_shape)
     )
 
 
@@ -127,6 +184,167 @@ def _batched_scatter_add(base, flat_idx, vals):
 def predict(hm: HeightMap, process_variance: float) -> HeightMap:
     """Variance growth per update cycle (RobotMotionMapUpdater analog)."""
     return hm._replace(variance=hm.variance + process_variance)
+
+
+def motion_update(
+    hm: HeightMap,
+    position_cov: jnp.ndarray,   # (..., 3, 3) relative pose pos covariance
+    R_map_to_body: jnp.ndarray,  # (..., 3, 3)
+    covariance_scale: float = 1.0,
+) -> HeightMap:
+    """Pose-uncertainty-driven variance growth — RobotMotionMapUpdater::
+    update (RobotMotionMapUpdater.cpp:30-118): the vertical variance bump
+    is J_t Sigma_p J_t^T with translation Jacobian J_t = -R^T, identical
+    for every cell (the per-cell rotation Jacobian feeds only the
+    HORIZONTAL variance layers, which this grid does not carry — our
+    foothold logic consumes elevation/variance/traversability only).
+    """
+    J = -jnp.swapaxes(R_map_to_body, -1, -2)
+    cov = covariance_scale * position_cov
+    bump = jnp.einsum("...ij,...jk,...ik->...i", J, cov, J)[..., 2]
+    return hm._replace(variance=hm.variance + bump[..., None, None])
+
+
+def move(hm: HeightMap, new_center: jnp.ndarray) -> HeightMap:
+    """Shift the grid to a new world center, keeping world-anchored data
+    (ElevationMap::move / grid_map's circular-buffer move): cells that
+    stay in view keep their estimates, newly exposed strips reset to the
+    uninformative prior.  The shift snaps to whole cells so repeated
+    moves never blur the map.  Batched: per-instance shifts via gathers
+    (jnp.roll needs a scalar shift).
+    """
+    H = hm.elevation.shape[-2]
+    W = hm.elevation.shape[-1]
+    res = hm.resolution
+    # whole-cell snap
+    shift_cells = jnp.round((new_center - hm.center) / res).astype(jnp.int32)
+    snapped = hm.center + shift_cells.astype(hm.center.dtype) * res
+    # index motion of a fixed world point: col += sx, row -= sy
+    sx = shift_cells[..., 0]
+    sy = shift_cells[..., 1]
+
+    rows = jnp.arange(H)
+    cols = jnp.arange(W)
+    # destination (r, c) pulls from source (r + sy, c - sx)
+    src_r = rows + sy[..., None]                        # (..., H)
+    src_c = cols - sx[..., None]                        # (..., W)
+    valid = (
+        ((src_r >= 0) & (src_r < H))[..., :, None]
+        & ((src_c >= 0) & (src_c < W))[..., None, :]
+    )
+    src_r = jnp.clip(src_r, 0, H - 1)
+    src_c = jnp.clip(src_c, 0, W - 1)
+
+    def shift(grid, fill):
+        g = jnp.take_along_axis(grid, src_r[..., :, None], axis=-2)
+        g = jnp.take_along_axis(g, src_c[..., None, :], axis=-1)
+        return jnp.where(valid, g, jnp.asarray(fill, grid.dtype))
+
+    return hm._replace(
+        elevation=shift(hm.elevation, 0.0),
+        variance=shift(hm.variance, 1e4),
+        traversability=shift(hm.traversability, 1.0),
+        center=snapped,
+    )
+
+
+def visibility_cleanup(
+    hm: HeightMap,
+    points: jnp.ndarray,         # (..., n, 3) latest scan, world
+    meas_variance: jnp.ndarray,  # (..., n)
+    sensor_pos: jnp.ndarray,     # (..., 3) sensor origin, world
+    ray_samples: int = 12,
+) -> HeightMap:
+    """Remove ghost cells the latest scan saw THROUGH — ElevationMap::
+    visibilityCleanup (ElevationMap.cpp:435-531): for every observed
+    point, the sensor->point ray bounds the height of each cell it
+    crosses (max_height = interpolated ray height); cells whose map
+    elevation minus 3 sigma exceeds their max_height are reset to the
+    uninformative prior (the reference NaNs them; this grid carries an
+    explicit variance, so reset = prior).
+
+    TPU-native: the reference's per-cell grid_map::LineIterator becomes
+    a fixed ray_samples-point discretization of every ray + one
+    scatter-min of interpolated ray heights — shape-static, batched.
+    """
+    H = hm.elevation.shape[-2]
+    W = hm.elevation.shape[-1]
+    dtype = hm.elevation.dtype
+    gshape = hm.elevation.shape[:-2] + (H * W,)
+
+    # lowest scan point per ray: z + 3 sigma (ElevationMap.cpp:169-171)
+    z_low = points[..., 2] + 3.0 * jnp.sqrt(meas_variance)   # (..., n)
+
+    # sample each sensor->point segment at fixed fractions
+    fr = jnp.linspace(0.0, 1.0, ray_samples, dtype=dtype)    # (S,)
+    seg = points - sensor_pos[..., None, :]                  # (..., n, 3)
+    xy = (
+        sensor_pos[..., None, None, 0:2]
+        + fr[:, None] * seg[..., :, None, 0:2]               # (..., n, S, 2)
+    )
+    ray_h = (
+        sensor_pos[..., None, None, 2]
+        + fr * (z_low[..., None] - sensor_pos[..., None, None, 2])
+    )                                                        # (..., n, S)
+
+    idx = world_to_index(hm, xy)                             # (..., n, S, 2)
+    flat = (idx[..., 0] * W + idx[..., 1]).reshape(
+        idx.shape[:-3] + (-1,)
+    )                                                        # (..., n*S)
+    heights = ray_h.reshape(ray_h.shape[:-2] + (-1,))
+
+    max_h = jnp.full(gshape, jnp.inf, dtype).at[
+        _batch_index(gshape[:-1], flat) + (flat,)
+    ].min(heights)
+
+    elev = hm.elevation.reshape(gshape)
+    var = hm.variance.reshape(gshape)
+    ghost = elev - 3.0 * jnp.sqrt(var) > max_h
+    return hm._replace(
+        elevation=jnp.where(ghost, 0.0, elev).reshape(hm.elevation.shape),
+        variance=jnp.where(ghost, 1e4, var).reshape(hm.variance.shape),
+    )
+
+
+def compute_traversability(
+    hm: HeightMap,
+    critical_slope: float = 0.7,
+    critical_roughness: float = 0.06,
+) -> HeightMap:
+    """Slope+roughness traversability layer — the filter-chain the
+    reference's postprocessor pipeline computes for CMPC_Locomotion_cv's
+    validity checks (elevation_mapping_demos postprocessor_pipeline.yaml:
+    slope via surface normals, roughness via local plane residual,
+    traversability = weighted combination clipped to [0, 1]).
+
+    Central-difference slope + 3x3 local standard deviation; cells with
+    high prior variance (never observed) stay traversable (the reference
+    treats NaN cells as "unknown", checked separately by _idxMapChecking).
+    """
+    e = hm.elevation
+    res = hm.resolution
+    dzdx = (jnp.roll(e, -1, axis=-1) - jnp.roll(e, 1, axis=-1)) / (2 * res)
+    dzdy = (jnp.roll(e, -1, axis=-2) - jnp.roll(e, 1, axis=-2)) / (2 * res)
+    slope = jnp.sqrt(dzdx**2 + dzdy**2)
+
+    # 3x3 roughness: std of neighborhood heights
+    acc = jnp.zeros_like(e)
+    acc2 = jnp.zeros_like(e)
+    for dr in (-1, 0, 1):
+        for dc in (-1, 0, 1):
+            v = jnp.roll(jnp.roll(e, dr, axis=-2), dc, axis=-1)
+            acc = acc + v
+            acc2 = acc2 + v * v
+    mean = acc / 9.0
+    rough = jnp.sqrt(jnp.maximum(acc2 / 9.0 - mean**2, 0.0))
+
+    t_slope = 1.0 - jnp.minimum(slope / critical_slope, 1.0)
+    t_rough = 1.0 - jnp.minimum(rough / critical_roughness, 1.0)
+    trav = 0.5 * t_slope + 0.5 * t_rough
+    unknown = hm.variance > 1e2
+    return hm._replace(
+        traversability=jnp.where(unknown, 1.0, trav)
+    )
 
 
 @functools.lru_cache(maxsize=8)

@@ -147,3 +147,99 @@ def test_sensor_processor_pipeline():
                           jnp.asarray(var, jnp.float64) + 1e-6)
     idx = hmap.world_to_index(hm, jnp.asarray([0.0, 0.0]))
     assert abs(float(hm.elevation[idx[0], idx[1]])) < 1e-3
+
+
+def test_move_keeps_world_anchored_data():
+    """move() shifts the grid under the robot without smearing: a bump
+    fused at a world point stays at that world point (ElevationMap::move
+    semantics)."""
+    hm = hmap.create(size=32, resolution=0.05)
+    pt = jnp.array([[0.30, -0.10, 0.12]])
+    hm = hmap.fuse_points(hm, pt, jnp.array([1e-4]))
+    z_before = float(hmap.sample(
+        hm.elevation, hmap.world_to_index(hm, pt[:, 0:2])[None, 0]
+    )[0])
+    assert abs(z_before - 0.12) < 1e-3
+
+    hm2 = hmap.move(hm, jnp.array([0.25, 0.15]))
+    # center snapped to whole cells
+    np.testing.assert_allclose(
+        np.asarray(hm2.center) / 0.05,
+        np.round(np.asarray(hm2.center) / 0.05), atol=1e-6,
+    )
+    z_after = float(hmap.sample(
+        hm2.elevation, hmap.world_to_index(hm2, pt[:, 0:2])[None, 0]
+    )[0])
+    assert abs(z_after - 0.12) < 1e-3
+    # newly exposed strip is reset to the prior
+    assert float(jnp.max(hm2.variance)) > 1e3
+
+
+def test_mahalanobis_gate_higher_replaces_lower_inflates():
+    """Multi-height handling (ElevationMap.cpp:152-166): a far-higher
+    point replaces the surface; a far-lower one only inflates variance."""
+    hm = hmap.create(size=16, resolution=0.05)
+    base = jnp.array([[0.0, 0.0, 0.10]])
+    hm = hmap.fuse_points(hm, base, jnp.array([1e-6]))
+
+    # higher outlier -> replace
+    hi = jnp.array([[0.0, 0.0, 0.50]])
+    hm_hi = hmap.fuse_points(hm, hi, jnp.array([1e-4]),
+                             mahalanobis_threshold=2.5)
+    idx = hmap.world_to_index(hm, jnp.array([0.0, 0.0]))
+    z = float(hm_hi.elevation[tuple(np.asarray(idx))])
+    assert abs(z - 0.50) < 1e-6
+
+    # lower outlier -> height unchanged, variance inflated
+    lo = jnp.array([[0.0, 0.0, -0.50]])
+    hm_lo = hmap.fuse_points(hm, lo, jnp.array([1e-4]),
+                             mahalanobis_threshold=2.5,
+                             multi_height_noise=1e-3)
+    z = float(hm_lo.elevation[tuple(np.asarray(idx))])
+    v0 = float(hm.variance[tuple(np.asarray(idx))])
+    v = float(hm_lo.variance[tuple(np.asarray(idx))])
+    assert abs(z - 0.10) < 1e-6
+    assert v > v0 + 0.5e-3
+
+
+def test_visibility_cleanup_removes_ghost():
+    """A cell holding a stale high obstacle is reset when the latest scan
+    sees through it (ElevationMap::visibilityCleanup)."""
+    hm = hmap.create(size=32, resolution=0.05)
+    # ground everywhere the scan sees, plus a stale ghost at (0.3, 0)
+    ghost = jnp.array([[0.30, 0.0, 0.60]])
+    hm = hmap.fuse_points(hm, ghost, jnp.array([1e-6]))
+
+    sensor = jnp.array([0.0, 0.0, 0.40])
+    # scan point at ground level BEHIND the ghost: the ray passes over
+    # the ghost cell far below 0.6
+    scan = jnp.array([[0.60, 0.0, 0.0]])
+    hm2 = hmap.visibility_cleanup(hm, scan, jnp.array([1e-4]), sensor)
+    idx = tuple(np.asarray(hmap.world_to_index(hm, jnp.array([0.30, 0.0]))))
+    assert float(hm2.variance[idx]) > 1e3          # reset to prior
+    # the scan's own endpoint cell is NOT a ghost target here (ray ends
+    # at its lowest point); cells never crossed stay untouched
+    far = tuple(np.asarray(hmap.world_to_index(hm, jnp.array([-0.5, -0.5]))))
+    assert float(hm2.variance[far]) == float(hm.variance[far])
+
+
+def test_traversability_flags_slope_and_roughness():
+    hm = hmap.create(size=32, resolution=0.05)
+    # observed flat ground (low variance) with a sharp step
+    e = jnp.zeros((32, 32))
+    e = e.at[:, 16:].set(0.3)
+    hm = hm._replace(elevation=e, variance=jnp.full((32, 32), 1e-4))
+    hm = hmap.compute_traversability(hm)
+    t = np.asarray(hm.traversability)
+    assert t[5, 16] < 0.2       # step edge untraversable
+    assert t[5, 5] > 0.95       # flat interior fine
+    assert t[5, 28] > 0.95
+
+
+def test_motion_update_grows_variance_by_pose_cov():
+    hm = hmap.create(size=8, resolution=0.05)
+    hm = hm._replace(variance=jnp.full((8, 8), 0.01))
+    cov = jnp.diag(jnp.array([0.0, 0.0, 4e-4]))   # 2 cm z std
+    hm2 = hmap.motion_update(hm, cov, jnp.eye(3))
+    np.testing.assert_allclose(np.asarray(hm2.variance), 0.01 + 4e-4,
+                               rtol=1e-5)
