@@ -42,6 +42,13 @@ def main() -> None:
     ap.add_argument("--backend", choices=["xla", "pallas"], default="pallas",
                     help="ADMM iteration-loop backend")
     ap.add_argument("--latency", action="store_true", help="also measure b=1 latency")
+    # Single-dispatch latency through the axon tunnel is RTT-dominated
+    # (tens of ms regardless of compute); chaining K steps inside one
+    # lax.scan dispatch and dividing isolates the on-device per-solve
+    # latency — the number the 2 ms reference budget (BASELINE.md)
+    # actually constrains.
+    ap.add_argument("--latency-device", action="store_true",
+                    help="amortized on-device b=1 per-step latency (scan chain)")
     # SURVEY.md §5 tracing analog (the reference's SHOW_MPC_SOLVE_TIME /
     # Timer stopwatches): full profiler timeline of one measured step.
     ap.add_argument("--profile", default="", metavar="DIR",
@@ -144,6 +151,32 @@ def main() -> None:
             ctrl, f = step_jit(ctrl, obs, cmd, gait, t)
             float(jnp.sum(f))
         print(f"profiler trace written to {args.profile}", file=sys.stderr)
+
+    if args.latency_device:
+        K = 256
+        ctrl, obs, cmd, gait, t = make_inputs(1)
+
+        def chain(ctrl, obs, cmd, gait, t):
+            def body(c, _):
+                c, f = step(c, obs, cmd, gait, t)
+                return c, jnp.sum(f)
+            c, s = jax.lax.scan(body, ctrl, None, length=K)
+            return jnp.sum(s)
+
+        chain_jit = jax.jit(chain)
+        float(chain_jit(ctrl, obs, cmd, gait, t))      # compile
+        times = []
+        for _ in range(10):
+            t0 = time.perf_counter()
+            float(chain_jit(ctrl, obs, cmd, gait, t))  # host-sync fence
+            times.append(time.perf_counter() - t0)
+        per_step = (min(times) / K) * 1e3
+        print(
+            f"b=1 on-device per-step latency {per_step:.3f} ms "
+            f"(chain of {K}; budget 2 ms; min-of-10 dispatches, "
+            f"RTT amortized)",
+            file=sys.stderr,
+        )
 
     if args.latency:
         ctrl, obs, cmd, gait, t = make_inputs(1)
