@@ -32,11 +32,12 @@ def main() -> None:
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--horizon", type=int, default=10)
     ap.add_argument("--solver", choices=["admm", "pdip"], default="admm")
-    # 50 fixed iterations is the steady-state production setting: the
+    # 30 fixed iterations is the steady-state production setting: the
     # (x, z, y) warm start carried across MPC steps makes the effective
-    # iteration count cumulative — closed-loop trot tracking is
-    # indistinguishable from ADMM-200 even at 30 (tests/test_closed_loop)
-    ap.add_argument("--admm-iters", type=int, default=50)
+    # iteration count cumulative — closed-loop trot tracking matches the
+    # PDIP reference at ADMM-30 warm
+    # (tests/test_closed_loop.py::test_trot_admm30_warm_matches_pdip)
+    ap.add_argument("--admm-iters", type=int, default=30)
     # pallas = fused bf16-K^{-1} iteration kernel, the production TPU path
     # (1.9x the XLA GEMV loop; docs/PERFORMANCE.md)
     ap.add_argument("--backend", choices=["xla", "pallas"], default="pallas",

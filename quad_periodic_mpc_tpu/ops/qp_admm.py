@@ -240,26 +240,33 @@ def _kkt_inverse_woodbury(
 
     # Symmetrized form: W = I + D^{1/2} S D^{1/2} is SPD with spectrum in
     # [1, 1 + ||D^{1/2} S D^{1/2}||] — inverted by a fixed Newton-Schulz
-    # loop (batched LU on TPU is slow and axon-fragile).  Everything here
-    # runs at HIGHEST (true f32) matmul precision: the correction cancels
-    # K0^{-1}'s large z-block down to the ~1/(rho eq_scale) bumped value,
-    # and the TPU's default bf16-input matmul turns that cancellation
-    # into garbage (ADMM then diverges on the pinned rows).
+    # loop (batched LU on TPU is slow and axon-fragile).  The final
+    # correction GEMMs run at HIGHEST (true f32) matmul precision: the
+    # correction cancels K0^{-1}'s large z-block down to the
+    # ~1/(rho eq_scale) bumped value, and the TPU's default bf16-input
+    # matmul turns that cancellation into garbage (ADMM then diverges on
+    # the pinned rows).  The NS loop itself is Jacobi-preconditioned
+    # (Ws = d^{-1/2} W d^{-1/2}, d = diag W): cond drops from ~1e2-1e3 to
+    # O(10), so 8 rounds at HIGH (3-pass bf16) replace 16 at HIGHEST —
+    # NS self-corrects per round, only the last round's rounding matters,
+    # and the HIGHEST final GEMMs preserve the cancellation.
     hi = jax.lax.Precision.HIGHEST
+    hi3 = jax.lax.Precision.HIGH
     dh = jnp.sqrt(delta)
     W = eye_k + dh[..., :, None] * S * dh[..., None, :]
-    norm = jnp.max(jnp.sum(jnp.abs(W), axis=-1), axis=-1)
+    dw = jnp.sqrt(1.0 / (1.0 + delta * jnp.diagonal(S, axis1=-2, axis2=-1)))
+    Ws = dw[..., :, None] * W * dw[..., None, :]
+    norm = jnp.max(jnp.sum(jnp.abs(Ws), axis=-1), axis=-1)
     X0 = jnp.broadcast_to(eye_k, W.shape) / norm[..., None, None]
 
     def ns_round(_, X):
-        KX = jnp.einsum("...ij,...jk->...ik", W, X, precision=hi)
+        KX = jnp.einsum("...ij,...jk->...ik", Ws, X, precision=hi3)
         return jnp.einsum(
-            "...ij,...jk->...ik", X, 2.0 * eye_k - KX, precision=hi
+            "...ij,...jk->...ik", X, 2.0 * eye_k - KX, precision=hi3
         )
 
-    # 16 quadratic rounds: residual squares each round, covering a cold
-    # start at cond(W) up to ~1e3 well past the f32 floor.
-    X = jax.lax.fori_loop(0, 16, ns_round, X0)
+    X = jax.lax.fori_loop(0, 8, ns_round, X0)
+    X = dw[..., :, None] * X * dw[..., None, :]           # undo scaling
     Bd = B * dh[..., None, :]                             # B D^{1/2}
     XBt = jnp.einsum("...kl,...jl->...kj", X, Bd, precision=hi)
     K_inv = K0_inv - jnp.einsum("...ik,...kj->...ij", Bd, XBt, precision=hi)

@@ -179,3 +179,19 @@ def test_go1_model_pipeline():
     x = np.asarray(tr.x)
     assert abs(x[-1, 5] - 0.29) < 0.05
     assert np.isfinite(x).all()
+
+
+def test_trot_admm30_warm_matches_pdip():
+    """The production iteration budget: ADMM-30 with the carried
+    (x, z, y, K0^{-1}) warm start tracks the trot loop as well as the
+    high-accuracy PDIP reference — the carried state makes the effective
+    iteration count cumulative across MPC steps (the qpOASES-hotstart
+    analog, SolverMPC.cpp:955-982 nWSR warm behavior)."""
+    dist = S.DisturbanceParams.zero((), DTYPE)
+    _, tr_ref = run("trotting", 0.3, dist, EstimatorConfig(), 60)
+    _, tr_a30 = run("trotting", 0.3, dist, EstimatorConfig(), 60,
+                    solver=ADMMConfig(iterations=30))
+    vr = np.asarray(tr_ref.x)[:, 9]
+    va = np.asarray(tr_a30.x)[:, 9]
+    assert abs(va[20:].mean() - 0.3) < 0.04
+    assert np.abs(va[20:] - vr[20:]).max() < 0.02

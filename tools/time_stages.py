@@ -1,0 +1,167 @@
+#!/usr/bin/env python
+"""Per-stage timing of the production mpc_step on TPU (batch 2048, h=10).
+
+Stages: QP build (traj+table+linearize+condense), KKT inverse
+(NS+Woodbury, warm and cold), ADMM iterations (pallas/xla), estimator
+update (faithful / ls), full step.  Each stage is its own jit with a
+host-pulled scalar fence (block_until_ready lies through the axon relay).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=2048)
+    ap.add_argument("--reps", type=int, default=20)
+    ap.add_argument("--admm-iters", type=int, default=50)
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    import jax.numpy as jnp
+
+    from quad_periodic_mpc_tpu.config import (
+        ADMMConfig, EstimatorConfig, LoopConfig, MPCConfig,
+    )
+    from quad_periodic_mpc_tpu.control import mpc as M
+    from quad_periodic_mpc_tpu.ops import estimator as est_ops
+    from quad_periodic_mpc_tpu.ops import gait as gait_ops
+    from quad_periodic_mpc_tpu.ops import problem, qp_admm
+    from quad_periodic_mpc_tpu.ops.pallas import admm_kernel
+    from quad_periodic_mpc_tpu.ops.rotations import quat_to_rotmat, quat_to_rpy
+    from quad_periodic_mpc_tpu.sim import srb_sim as S
+
+    dtype = jnp.float32
+    B = args.batch
+    mpc_cfg = MPCConfig(horizon=10)
+    loop_cfg = LoopConfig()
+    cfg = ADMMConfig(iterations=args.admm_iters)
+
+    plant = S.init_plant((B,), body_height=0.29, dtype=dtype)
+    obs = S.observe(plant)
+    ctrl = M.init_state((B,), obs, dtype=dtype, horizon=10)
+    ctrl = ctrl._replace(iteration=(jnp.arange(B, dtype=jnp.int32) * 7) % 208)
+    cmd = M.Command(
+        vx=jnp.full((B,), 0.3, dtype), vy=jnp.zeros((B,), dtype),
+        yaw_rate=jnp.zeros((B,), dtype),
+        body_height=jnp.full((B,), 0.29, dtype),
+    )
+    gait = gait_ops.preset("trotting")
+
+    def build(ctrl, obs, cmd, gait):
+        R = quat_to_rotmat(obs.quat)
+        rpy = quat_to_rpy(obs.quat)
+        vdr = jnp.stack(
+            [ctrl.x_vel_des, ctrl.y_vel_des, jnp.zeros_like(ctrl.x_vel_des)],
+            axis=-1,
+        )
+        vdw = jnp.einsum("...ij,...j->...i", R, vdr)
+        x_ref, _ = M.build_reference_trajectory(
+            ctrl, obs, cmd, vdw, rpy, mpc_cfg, loop_cfg
+        )
+        seg = gait_ops.segment_index(
+            gait, ctrl.iteration, loop_cfg.iterations_between_mpc
+        )
+        table = gait_ops.mpc_table(gait, seg, mpc_cfg.horizon)
+        r_feet = obs.p_feet - obs.p[..., None, :]
+        qp_obs = problem.RobotObs(
+            p=obs.p, v=obs.v, quat=obs.quat, omega=obs.omega, r_feet=r_feet
+        )
+        qp, _, _ = problem.build_qp(qp_obs, x_ref, table, mpc_cfg)
+        return qp
+
+    def fence(fn, name, *inputs):
+        jfn = jax.jit(fn)
+        t0 = time.perf_counter()
+        out = jfn(*inputs)
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        float(jnp.sum(leaf))
+        print(f"{name:36s} compile {time.perf_counter()-t0:6.1f}s", end="")
+        t0 = time.perf_counter()
+        for _ in range(args.reps):
+            out = jfn(*inputs)
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        cs = float(jnp.sum(leaf))
+        dt = (time.perf_counter() - t0) / args.reps * 1e3
+        assert np.isfinite(cs), name
+        print(f"  {dt:7.2f} ms")
+        return jfn(*inputs)
+
+    qp = fence(build, "build (traj+table+linearize+QP)", ctrl, obs, cmd, gait)
+    rho = qp_admm.rho_vector(qp.l, qp.u, cfg)
+
+    def kkt_cold(qp, rho):
+        K_inv, carry = qp_admm._kkt_inverse_woodbury(qp, rho, cfg, None)
+        return K_inv, carry
+
+    K_inv, carry = fence(kkt_cold, "KKT inverse (NS cold 30 + Woodbury)", qp, rho)
+
+    n = qp.q.shape[-1]
+    m = qp.l.shape[-1]
+    warm = qp_admm.ADMMState(
+        x=jnp.zeros((B, n), dtype), z=jnp.zeros((B, m), dtype),
+        y=jnp.zeros((B, m), dtype), kinv=carry,
+    )
+
+    def kkt_warm(qp, rho, warm):
+        return qp_admm._kkt_inverse_woodbury(qp, rho, cfg, warm)
+
+    fence(kkt_warm, "KKT inverse (NS warm 3 + Woodbury)", qp, rho, warm)
+
+    x0 = jnp.zeros((B, n), dtype)
+    z0 = jnp.zeros((B, m), dtype)
+    y0 = jnp.zeros((B, m), dtype)
+
+    def pallas_iters(K_inv, q, l, u, rho, F):
+        return admm_kernel.fused_admm_iterations(
+            K_inv, q, l, u, rho, F, x0, z0, y0,
+            iters=args.admm_iters, sigma=cfg.sigma,
+            over_relax=cfg.over_relax, kinv_bf16=True,
+        )
+
+    fence(pallas_iters, f"pallas ADMM iters x{args.admm_iters}",
+          K_inv, qp.q, qp.l, qp.u, rho, qp.F)
+
+    # estimator stages
+    t = plant.t
+    f_ext = jnp.zeros((B, 6), dtype)
+    for mode in ("faithful", "ls"):
+        est_cfg = EstimatorConfig(
+            mode=mode, residual="discrete" if mode == "ls" else "reference"
+        )
+        est = est_ops.init((B,), window=est_cfg.window, dtype=dtype)
+
+        def est_update(est, t, f_ext, _cfg=est_cfg):
+            return est_ops.update(est, t, f_ext, _cfg)
+
+        fence(est_update, f"estimator update ({mode})", est, t, f_ext)
+
+    # full production step
+    for backend in ("pallas",):
+        solver = ADMMConfig(iterations=args.admm_iters, backend=backend)
+        est_cfg = EstimatorConfig()
+
+        def step(ctrl, obs, cmd, gait, t, _s=solver, _e=est_cfg):
+            return M.mpc_step(
+                ctrl, obs, cmd, gait, t, mpc_cfg, loop_cfg, _e, _s
+            )
+
+        fence(step, f"FULL mpc_step ({backend}-{args.admm_iters})",
+              ctrl, obs, cmd, gait, t)
+
+
+if __name__ == "__main__":
+    main()
