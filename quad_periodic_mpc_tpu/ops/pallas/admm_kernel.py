@@ -34,7 +34,6 @@ CHUNK = 64   # Kinv VMEM block 3.7MB -> fits with double buffering
 # bf16 Kinv storage: full 128-lane chunks at the same VMEM budget (the
 # f32 64-lane layout wastes half the VPU); x-update accumulates in f32.
 # Operator error ~2^-8 relative — see fused parity test for the bound.
-BF16_CHUNK = 128
 
 
 def _dense_constraint_matrix(F: np.ndarray, h: int) -> np.ndarray:
@@ -61,6 +60,7 @@ def _kernel(
     x_out,       # (n, C)
     z_out,       # (m, C)
     y_out,       # (m, C)
+    rhs_ref,     # (n, C) VMEM scratch
     *,
     n: int,
     m: int,
@@ -68,29 +68,46 @@ def _kernel(
     sigma: float,
     over_relax: float,
 ):
-    q = q_ref[0]
-    l = l_ref[0]
-    u = u_ref[0]
-    rho = rho_ref[0]
+    q = q_ref[:]
+    l = l_ref[:]
+    u = u_ref[:]
+    rho = rho_ref[:]
     rho_inv = 1.0 / rho
     a = over_relax
+    JB = 8
 
     def body(_, carry):
         x, z, y = carry
         w = rho * z - y
-        rhs = sigma * x - q + jnp.dot(
+        rhs_ref[:] = sigma * x - q + jnp.dot(
             At_ref[:], w, preferred_element_type=jnp.float32
         )
-        # per-instance matvec on the VPU: x~[i, c] = sum_j Kinv[i, j, c] rhs[j, c]
-        # j is processed in static blocks (Mosaic has no dynamic_slice):
-        # each block forms an (n, JB, C) product reduced over its j axis.
-        JB = 8
-        x_t = jnp.zeros_like(x)
-        for b in range(0, n, JB):
-            jb = min(JB, n - b)
-            kb = kinv_ref[0, :, b : b + jb, :].astype(jnp.float32)
-            rb = rhs[b : b + jb, :][None, :, :]      # (1, jb, C)
-            x_t = x_t + jnp.sum(kb * rb, axis=1)
+
+        # per-instance matvec on the VPU, exploiting SYMMETRY of K^{-1}
+        # (SPD inverse; the NS iterate and the Woodbury correction both
+        # preserve symmetry):
+        #   x~[i, c] = sum_j Kinv[i, j, c] rhs[j, c]
+        #            = sum_j Kinv[j, i, c] rhs[j, c]
+        # so j rides the LEADING ref dim and each JB-block is a natural
+        # subview load.  Slicing the middle dim instead made Mosaic
+        # materialize the whole bf16 block as an f32 stack value
+        # (2 x 9 MB scoped vmem at n=192 -> OOM over the 16 MB limit);
+        # leading-dim fori subviews keep the stack at one (JB, n, C)
+        # product per round.  rhs lives in a scratch ref because values
+        # cannot be dynamically sliced in Mosaic.
+        def jblock(i, acc):
+            kb = kinv_ref[pl.dslice(i * JB, JB), :, :].astype(
+                jnp.float32
+            )                                        # (JB, n, C)
+            rb = rhs_ref[pl.dslice(i * JB, JB), :][:, None, :]  # (JB, 1, C)
+            return acc + jnp.sum(kb * rb, axis=0)
+
+        x_t = jax.lax.fori_loop(0, n // JB, jblock, jnp.zeros_like(x))
+        rem = n % JB
+        if rem:
+            kb = kinv_ref[n - rem :, :, :].astype(jnp.float32)
+            rb = rhs_ref[n - rem :, :][:, None, :]
+            x_t = x_t + jnp.sum(kb * rb, axis=0)
         x_new = a * x_t + (1.0 - a) * x
         z_t = jnp.dot(A_ref[:], x_t, preferred_element_type=jnp.float32)
         z_r = a * z_t + (1.0 - a) * z
@@ -99,11 +116,11 @@ def _kernel(
         return x_new, z_new, y_new
 
     x, z, y = jax.lax.fori_loop(
-        0, iters, body, (x0_ref[0], z0_ref[0], y0_ref[0])
+        0, iters, body, (x0_ref[:], z0_ref[:], y0_ref[:])
     )
-    x_out[0] = x
-    z_out[0] = z
-    y_out[0] = y
+    x_out[:] = x
+    z_out[:] = z
+    y_out[:] = y
 
 
 @functools.partial(
@@ -133,10 +150,18 @@ def fused_admm_iterations(
     VMEM as bf16 with 128-lane chunks (full VPU width at half the VMEM),
     accumulating the x-update in f32.
     """
-    C = BF16_CHUNK if kinv_bf16 else CHUNK
     B, n = q.shape
+    C = 128 if kinv_bf16 else CHUNK
     m = l.shape[-1]
     h = n // 12
+    # The LANE dim pads to 128 in VMEM, so chunks below 128 lanes save
+    # nothing — always use C = 128 for bf16.  Mosaic double-buffers
+    # grid-mapped inputs; when two bf16 K^{-1} blocks don't fit the
+    # ~16 MB scoped budget (n >= ~168, i.e. h >= 14), fall back to a
+    # grid-less kernel mapped over chunks with lax.map: one block
+    # resident at a time, chunk handoff un-overlapped (a few percent
+    # slower, but it compiles at any horizon).
+    single_buffer = kinv_bf16 and (2 * n * n * C * 2 + 2_500_000 > 15_500_000)
     pad = (-B) % C
     if pad:
         padv = lambda t: jnp.concatenate(
@@ -164,45 +189,69 @@ def fused_admm_iterations(
     A_dense = jnp.kron(jnp.eye(4 * h, dtype=jnp.float32), F.astype(jnp.float32))
     At_dense = A_dense.T
 
-    grid = (nc,)
-    chunk_spec = lambda *shape: pl.BlockSpec(
-        shape, lambda i: (i,) + (0,) * (len(shape) - 1),
-        memory_space=pltpu.VMEM,
-    )
-    shared_spec = lambda *shape: pl.BlockSpec(
-        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM,
-    )
-
     kernel = functools.partial(
         _kernel, n=n, m=m, iters=iters, sigma=sigma, over_relax=over_relax
     )
-    x_o, z_o, y_o = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            chunk_spec(1, n, n, C),
-            chunk_spec(1, n, C),
-            chunk_spec(1, m, C),
-            chunk_spec(1, m, C),
-            chunk_spec(1, m, C),
-            chunk_spec(1, n, C),
-            chunk_spec(1, m, C),
-            chunk_spec(1, m, C),
-            shared_spec(m, n),
-            shared_spec(n, m),
-        ],
-        out_specs=[
-            chunk_spec(1, n, C),
-            chunk_spec(1, m, C),
-            chunk_spec(1, m, C),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((nc, n, C), jnp.float32),
-            jax.ShapeDtypeStruct((nc, m, C), jnp.float32),
-            jax.ShapeDtypeStruct((nc, m, C), jnp.float32),
-        ],
-        interpret=interpret,
-    )(K_t, q_t, l_t, u_t, rho_t, x_t, z_t, y_t, A_dense, At_dense)
+    out_shape_1 = [
+        jax.ShapeDtypeStruct((n, C), jnp.float32),
+        jax.ShapeDtypeStruct((m, C), jnp.float32),
+        jax.ShapeDtypeStruct((m, C), jnp.float32),
+    ]
+
+    if single_buffer:
+        vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+        call = pl.pallas_call(
+            kernel,
+            in_specs=[vmem] * 10,
+            out_specs=[vmem] * 3,
+            out_shape=out_shape_1,
+            scratch_shapes=[pltpu.VMEM((n, C), jnp.float32)],
+            interpret=interpret,
+        )
+        x_o, z_o, y_o = jax.lax.map(
+            lambda a: call(*a, A_dense, At_dense),
+            (K_t, q_t, l_t, u_t, rho_t, x_t, z_t, y_t),
+        )
+    else:
+        # None squeezes the grid dim away: kernel refs are (n, n, C)/
+        # (n, C)/(m, C) subviews, so dynamic leading-dim slices inside
+        # the kernel stay subviews instead of forcing a whole-block
+        # materialization.
+        chunk_spec = lambda *shape: pl.BlockSpec(
+            (None,) + shape, lambda i: (i,) + (0,) * len(shape),
+            memory_space=pltpu.VMEM,
+        )
+        shared_spec = lambda *shape: pl.BlockSpec(
+            shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM,
+        )
+        x_o, z_o, y_o = pl.pallas_call(
+            kernel,
+            grid=(nc,),
+            in_specs=[
+                chunk_spec(n, n, C),
+                chunk_spec(n, C),
+                chunk_spec(m, C),
+                chunk_spec(m, C),
+                chunk_spec(m, C),
+                chunk_spec(n, C),
+                chunk_spec(m, C),
+                chunk_spec(m, C),
+                shared_spec(m, n),
+                shared_spec(n, m),
+            ],
+            out_specs=[
+                chunk_spec(n, C),
+                chunk_spec(m, C),
+                chunk_spec(m, C),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((nc, n, C), jnp.float32),
+                jax.ShapeDtypeStruct((nc, m, C), jnp.float32),
+                jax.ShapeDtypeStruct((nc, m, C), jnp.float32),
+            ],
+            scratch_shapes=[pltpu.VMEM((n, C), jnp.float32)],
+            interpret=interpret,
+        )(K_t, q_t, l_t, u_t, rho_t, x_t, z_t, y_t, A_dense, At_dense)
 
     def from_lanes(t, inner):
         return jnp.moveaxis(t, -1, 1).reshape((Bp,) + inner)[:B]

@@ -307,3 +307,38 @@ int qpm_safety_power_protect(double* tau, const double* qd,
   for (int i = 0; i < 12; i++) tau[i] *= scale;
   return 1;
 }
+
+int qpm_safety_position_limit(double* q, const double* qmin3,
+                              const double* qmax3) {
+  int clamped = 0;
+  for (int leg = 0; leg < 4; leg++) {
+    for (int j = 0; j < 3; j++) {
+      double* v = &q[leg * 3 + j];
+      if (*v > qmax3[j]) {
+        *v = qmax3[j];
+        clamped++;
+      } else if (*v < qmin3[j]) {
+        *v = qmin3[j];
+        clamped++;
+      }
+    }
+  }
+  return clamped;
+}
+
+int qpm_safety_position_protect(double* q_cmd, const double* q_now,
+                                double limit_rad) {
+  int clamped = 0;
+  for (int i = 0; i < 12; i++) {
+    double lo = q_now[i] - limit_rad;
+    double hi = q_now[i] + limit_rad;
+    if (q_cmd[i] > hi) {
+      q_cmd[i] = hi;
+      clamped++;
+    } else if (q_cmd[i] < lo) {
+      q_cmd[i] = lo;
+      clamped++;
+    }
+  }
+  return clamped;
+}

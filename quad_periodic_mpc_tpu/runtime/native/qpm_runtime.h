@@ -77,6 +77,18 @@ int qpm_safety_clamp_torques(double* tau, const double* limits3);
 int qpm_safety_power_protect(double* tau, const double* qd,
                              double budget_watts);
 
+/* Position limit: clamp 12 commanded joint positions in place to
+ * per-joint-type [qmin3, qmax3] (Safety::PositionLimit analog,
+ * unitree_legged_sdk safety.h:18).  Returns number clamped. */
+int qpm_safety_position_limit(double* q, const double* qmin3,
+                              const double* qmax3);
+
+/* Position protect: clamp commanded positions to within limit_rad of
+ * the measured positions (Safety::PositionProtect analog,
+ * safety.h:22, default 0.087 rad = 5 deg).  Returns number clamped. */
+int qpm_safety_position_protect(double* q_cmd, const double* q_now,
+                                double limit_rad);
+
 #ifdef __cplusplus
 }
 #endif

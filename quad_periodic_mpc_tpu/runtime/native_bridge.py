@@ -84,6 +84,16 @@ def lib() -> ctypes.CDLL:
             ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
             ctypes.c_double,
         ]
+        _lib.qpm_safety_position_limit.restype = ctypes.c_int
+        _lib.qpm_safety_position_limit.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double),
+        ]
+        _lib.qpm_safety_position_protect.restype = ctypes.c_int
+        _lib.qpm_safety_position_protect.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+            ctypes.c_double,
+        ]
     return _lib
 
 
@@ -199,3 +209,40 @@ def power_protect(tau, qd, budget_watts: float) -> tuple:
         budget_watts,
     )
     return arr, bool(applied)
+
+
+# A1 joint ranges (abad, hip, knee), unitree_legged_sdk a1_const.h /
+# config/joint_limits_a1.yaml
+A1_Q_MIN = (-0.802, -1.05, -2.70)
+A1_Q_MAX = (0.802, 4.19, -0.916)
+
+
+def position_limit(q, qmin3=A1_Q_MIN, qmax3=A1_Q_MAX) -> tuple:
+    """Native joint-range clamp (Safety::PositionLimit analog,
+    unitree_legged_sdk safety.h:18; applied at be2r_cmpc_unitree.cpp:486)."""
+    import numpy as np
+
+    arr = np.ascontiguousarray(q, dtype=np.float64).reshape(12)
+    lo = np.ascontiguousarray(qmin3, dtype=np.float64)
+    hi = np.ascontiguousarray(qmax3, dtype=np.float64)
+    n = lib().qpm_safety_position_limit(
+        arr.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        lo.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        hi.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+    )
+    return arr, n
+
+
+def position_protect(q_cmd, q_now, limit_rad: float = 0.087) -> tuple:
+    """Native command-vs-measured clamp (Safety::PositionProtect analog,
+    safety.h:22; default 0.087 rad = 5 deg)."""
+    import numpy as np
+
+    arr = np.ascontiguousarray(q_cmd, dtype=np.float64).reshape(12)
+    now = np.ascontiguousarray(q_now, dtype=np.float64).reshape(12)
+    n = lib().qpm_safety_position_protect(
+        arr.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        now.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        limit_rad,
+    )
+    return arr, n

@@ -80,3 +80,30 @@ def test_safety_clamp_and_power(built):
     out, applied = nb.power_protect(tau, qd, budget_watts=120.0)
     assert applied
     assert abs(sum(out * qd) - 120.0) < 1e-9
+
+
+def test_position_limit_and_protect():
+    """Safety::PositionLimit / PositionProtect analogs
+    (unitree_legged_sdk safety.h:18-22)."""
+    import numpy as np
+    from quad_periodic_mpc_tpu.runtime import native_bridge as nb
+
+    q = np.tile([0.0, 0.5, -1.5], 4)   # valid A1 pose
+    q[1] = 5.0      # hip beyond 4.19
+    q[2] = -3.0     # knee beyond -2.70
+    q[3] = -1.0     # abad beyond -0.802
+    out, n = nb.position_limit(q)
+    assert n == 3
+    assert abs(out[1] - 4.19) < 1e-12
+    assert abs(out[2] + 2.70) < 1e-12
+    assert abs(out[3] + 0.802) < 1e-12
+    assert out[0] == 0.0 and out[5] == -1.5
+
+    q_now = np.full(12, 0.5)
+    q_cmd = np.full(12, 0.5)
+    q_cmd[4] = 0.7          # 0.2 rad jump > 0.087
+    q_cmd[5] = 0.45         # within limit
+    out, n = nb.position_protect(q_cmd, q_now)
+    assert n == 1
+    assert abs(out[4] - (0.5 + 0.087)) < 1e-12
+    assert out[5] == 0.45
