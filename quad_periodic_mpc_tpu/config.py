@@ -79,7 +79,12 @@ class ADMMConfig:
     ns_iters: int = 30
     # Adaptive NS trip count: ns_warm_iters quadratic rounds when every
     # instance carries a contractive warm K^{-1} seed, ns_iters otherwise.
-    ns_warm_iters: int = 3
+    # 2 suffices: the measured steady-trot seed residual is <= 0.056
+    # (||I - X_prev K0_new||_inf over a 40-step rollout, K0 drifting with
+    # yaw/foot placement), so two quadratic rounds land at ~1e-5 — far
+    # below both the f32 matmul floor and the bf16 K^{-1} storage error
+    # (~4e-3) of the production Pallas path.
+    ns_warm_iters: int = 2
     # Per-iteration K-residual refinement of the x-update.  Measured
     # unnecessary at ns_tol <= 1e-2 (f32 solve error ~1 mN either way);
     # enable only for ill-conditioned custom weight sets.

@@ -103,6 +103,7 @@ def ns_inverse(
     iters: int = 30,
     X0: jnp.ndarray | None = None,
     warm_iters: int = 3,
+    precision=None,
 ) -> jnp.ndarray:
     """Newton-Schulz iteration for K^{-1} of a symmetric PD batch.
 
@@ -123,6 +124,21 @@ def ns_inverse(
     inverse.)
     """
     n = K.shape[-1]
+    if precision is None:
+        # The TPU's default f32 matmul computes in single-pass bf16; the
+        # NS residual floor is then ~cond(K) * eps_matmul.  The condensed
+        # problem's cond grows with horizon (n=384 at h=32 measures
+        # ~2e3): the bf16 floor exceeds 1 (divergence) and even the HIGH
+        # (3-pass) floor ~0.27 destabilizes the ADMM fixed point (x blows
+        # up to 1e33 — measured).  Escalate to HIGHEST for large systems;
+        # the h <= 16 production sizes stay on the fast bf16 path, whose
+        # ~0.1-0.5 floor is re-contracted by the warm-started loop.
+        precision = (
+            jax.lax.Precision.HIGHEST
+            if n >= 200
+            else jax.lax.Precision.DEFAULT
+        )
+    mm = lambda a, b: jnp.matmul(a, b, precision=precision)
     eye = jnp.eye(n, dtype=K.dtype)
     norminf = jnp.max(jnp.sum(jnp.abs(K), axis=-1), axis=-1)
     X_cold = jnp.broadcast_to(eye, K.shape) / norminf[..., None, None]
@@ -130,7 +146,7 @@ def ns_inverse(
         X0 = X_cold
         iters_eff = jnp.asarray(iters)
     else:
-        R = eye - X0 @ K
+        R = eye - mm(X0, K)
         r = jnp.max(jnp.sum(jnp.abs(R), axis=-1), axis=-1)
         contractive = r < 0.9
         X0 = jnp.where(contractive[..., None, None], X0, X_cold)
@@ -142,7 +158,7 @@ def ns_inverse(
 
     def body(carry):
         X, k = carry
-        return X @ (2.0 * eye - K @ X), k + 1
+        return mm(X, 2.0 * eye - mm(K, X)), k + 1
 
     X, _ = jax.lax.while_loop(cond, body, (X0, jnp.asarray(0)))
     return X

@@ -130,6 +130,226 @@ def lqr_solve(
     return jnp.moveaxis(U_t, 0, -2)       # (..., h, 12)
 
 
+class LQRGains(NamedTuple):
+    """Iteration-invariant LQR factorization (see lqr_factorize)."""
+
+    K: jnp.ndarray       # (..., h, 12, 13) feedback gains
+    Minv: jnp.ndarray    # (..., h, 12, 12) (R_eff + B'P_{k+1}B)^{-1}
+    G: jnp.ndarray       # (..., h, 13, 12) Qux' M^{-1}
+    Ft: jnp.ndarray      # (..., h, 13, 13) backward linear map A' - G B'
+    Acl: jnp.ndarray     # (..., h, 13, 13) closed-loop A - B K
+    Pc: jnp.ndarray      # (..., h, 13) P_{k+1} @ c
+    q_stage: jnp.ndarray # (..., h, 13) stage linear cost (masked -Q xref)
+    p_T: jnp.ndarray     # (..., 13) terminal linear cost
+
+
+def _ns_posspec_inverse(M: jnp.ndarray, iters: int = 24) -> jnp.ndarray:
+    """Newton-Schulz inverse for a (possibly nonsymmetric) matrix whose
+    spectrum is real and >= 1 (here M = I + C J with C, J PSD: similar
+    to I + C^{1/2} J C^{1/2}).  The scalar seed X0 = I / ||M||_inf makes
+    every iterate a polynomial in M, so convergence is the scalar
+    recurrence r <- r^2 on each eigenvalue: iters ~ log2(cond) + 6.
+    HIGH (3-pass bf16 ~ f32) matmul precision: the bf16 default's
+    residual floor cond * 2^-8 diverges at the cond ~ 1e3-1e4 these
+    control-penalty systems reach (R_eff ~ 1e-4 makes C ~ 1e3).
+    """
+    hi3 = jax.lax.Precision.HIGH
+    n = M.shape[-1]
+    eye = jnp.eye(n, dtype=M.dtype)
+    norm = jnp.max(jnp.sum(jnp.abs(M), axis=-1), axis=-1)
+    X = jnp.broadcast_to(eye, M.shape) / norm[..., None, None]
+
+    def body(_, X):
+        MX = jnp.einsum("...ij,...jk->...ik", M, X, precision=hi3)
+        return jnp.einsum(
+            "...ij,...jk->...ik", X, 2.0 * eye - MX, precision=hi3
+        )
+
+    return jax.lax.fori_loop(0, iters, body, X)
+
+
+def lqr_factorize(
+    prob: StagewiseProblem,
+    R_eff_diag_extra: jnp.ndarray,
+) -> LQRGains:
+    """Associative-scan Riccati: the parallel-in-time factorization.
+
+    The ADMM x-update's LQR has iteration-INVARIANT quadratics — only
+    the linear term r changes per iteration — so the value quadratics
+    P_k and all gain matrices are computed ONCE per solve, in O(log h)
+    depth, via jax.lax.associative_scan over Sarkka-style conditional
+    value elements (A, C, J) with combine
+
+        D    = (I + C_i J_j)^{-1}
+        A_ij = A_j D A_i
+        C_ij = A_j D C_i A_j' + C_j
+        J_ij = A_i' D' J_j A_i + J_i
+
+    (Temporal Parallelization of LQR; D' = (I + J_j C_i)^{-1} because
+    C, J are symmetric).  This replaces the sequential backward scan
+    whose per-stage jnp.linalg.solve (tiny batched LU) made the TPU
+    path launch/LU-bound (~1.8 ms PER STAGE-STEP measured).  The
+    reference's analog is OSQP's one-time sparse KKT factorization
+    reused across iterations (SparseCMPC.cpp:27-137 setup vs solve).
+    """
+    h = prob.x_ref.shape[-2]
+    dtype = prob.x0.dtype
+    batch = prob.x0.shape[:-1]
+    hi3 = jax.lax.Precision.HIGH
+    mm = lambda a, b: jnp.einsum("...ij,...jk->...ik", a, b, precision=hi3)
+    mv = lambda a, b: jnp.einsum("...ij,...j->...i", a, b, precision=hi3)
+    tr = lambda a: jnp.swapaxes(a, -1, -2)
+
+    Qm = jnp.diag(prob.Q).astype(dtype)
+    R_eff = jnp.diag(prob.R).astype(dtype) + jnp.kron(
+        jnp.eye(4, dtype=dtype), R_eff_diag_extra.astype(dtype)
+    )
+    from quad_periodic_mpc_tpu.ops import linalg
+
+    R_inv = linalg.ns_inverse(
+        jnp.broadcast_to(R_eff, batch + (NU, NU)), iters=30,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    Ad = jnp.broadcast_to(prob.Ad, batch + (NX, NX))
+    Bd = jnp.broadcast_to(prob.Bd, batch + (NX, NU))
+    C_step = mm(mm(Bd, R_inv), tr(Bd))                       # (..., 13, 13)
+
+    # stage state costs: none at x_0, Q at x_1..x_h against xref_0..h-1
+    # (condensation convention, lqr_solve above / SolverMPC.cpp:128)
+    q_lin = -jnp.einsum("ij,...hj->...hi", Qm, prob.x_ref)
+    mask = jnp.concatenate(
+        [jnp.zeros((1,), dtype), jnp.ones((h - 1,), dtype)]
+    )
+
+    # elements k = 0..h-1 (transition + source-state cost) and k = h
+    # (terminal cost only: A = C = 0)
+    def bcast_h(x, extra):
+        return jnp.broadcast_to(
+            x[..., None, :, :], batch + (h,) + extra
+        )
+
+    A_el = jnp.concatenate(
+        [bcast_h(Ad, (NX, NX)), jnp.zeros(batch + (1, NX, NX), dtype)],
+        axis=-3,
+    )
+    C_el = jnp.concatenate(
+        [bcast_h(C_step, (NX, NX)), jnp.zeros(batch + (1, NX, NX), dtype)],
+        axis=-3,
+    )
+    J_el = jnp.concatenate(
+        [
+            mask[:, None, None] * Qm,
+            jnp.broadcast_to(Qm, (1, NX, NX)),
+        ],
+        axis=0,
+    )
+    J_el = jnp.broadcast_to(J_el, batch + (h + 1, NX, NX))
+
+    def combine(ej, ei):
+        # reverse=True flips the sequence, so fn's FIRST argument is the
+        # LATER element: fn(later, earlier) must compute earlier (x) later.
+        Ai, Ci, Ji = ei
+        Aj, Cj, Jj = ej
+        eye = jnp.eye(NX, dtype=dtype)
+        D = _ns_posspec_inverse(eye + mm(Ci, Jj))
+        Dt = tr(D)
+        AjD = mm(Aj, D)
+        A = mm(AjD, Ai)
+        C = mm(mm(AjD, Ci), tr(Aj)) + Cj
+        J = mm(mm(tr(Ai), mm(Dt, Jj)), Ai) + Ji
+        return A, (C + tr(C)) / 2.0, (J + tr(J)) / 2.0
+
+    _, _, J_suf = jax.lax.associative_scan(
+        combine, (A_el, C_el, J_el), reverse=True, axis=A_el.ndim - 3
+    )
+    P = J_suf[..., 1:, :, :]                # P_{k+1}, k = 0..h-1
+
+    Bh = Bd[..., None, :, :]
+    Ah = Ad[..., None, :, :]
+    M = jnp.broadcast_to(R_eff, batch + (h, NU, NU)) + mm(
+        mm(tr(Bh), P), Bh
+    )
+    Minv = linalg.ns_inverse(M, iters=24, precision=hi3)
+    Qux = mm(mm(tr(Bh), P), Ah)             # (..., h, 12, 13)
+    K = mm(Minv, Qux)
+    G = mm(tr(Qux), Minv)                   # (..., h, 13, 12)
+    Ft = tr(Ah) - mm(G, tr(Bh))
+    Acl = Ah - mm(Bh, K)
+    Pc = mv(P, prob.c[..., None, :])
+
+    return LQRGains(
+        K=K, Minv=Minv, G=G, Ft=Ft, Acl=Acl, Pc=Pc,
+        q_stage=jnp.concatenate(
+            [jnp.zeros_like(q_lin[..., :1, :]), q_lin[..., : h - 1, :]],
+            axis=-2,
+        )
+        * mask[:, None],
+        p_T=q_lin[..., h - 1, :],
+    )
+
+
+def lqr_apply(
+    gains: LQRGains,
+    prob: StagewiseProblem,
+    r_lin: jnp.ndarray,            # (..., h, 12)
+) -> jnp.ndarray:
+    """Per-iteration LQR solve with precomputed gains: two affine
+    associative scans (backward costate, forward closed-loop rollout) —
+    no factorization, no small solves, O(log h) depth."""
+    h = r_lin.shape[-2]
+    dtype = r_lin.dtype
+    mv = lambda a, b: jnp.einsum("...ij,...j->...i", a, b)
+    mm = lambda a, b: jnp.einsum("...ij,...jk->...ik", a, b)
+
+    # backward: p_k = Ft_k p_{k+1} + s_k;  p_h = p_T
+    s = gains.q_stage + mv(gains.Ft, gains.Pc) + mv(gains.G, r_lin)
+    F_elems = jnp.concatenate(
+        [gains.Ft, jnp.zeros_like(gains.Ft[..., :1, :, :])], axis=-3
+    )
+    s_elems = jnp.concatenate(
+        [s, gains.p_T[..., None, :]], axis=-2
+    )
+
+    def aff_rev(ej, ei):
+        # reverse=True: first arg is the LATER element (see combine note).
+        # earlier ∘ later: v -> F_i (F_j v + s_j) + s_i
+        Fi, si = ei
+        Fj, sj = ej
+        return mm(Fi, Fj), mv(Fi, sj) + si
+
+    _, p_all = jax.lax.associative_scan(
+        aff_rev, (F_elems, s_elems), reverse=True, axis=F_elems.ndim - 3
+    )
+    p_next = p_all[..., 1:, :]              # p_{k+1}, k = 0..h-1
+
+    # kff_k = M^{-1}(B'(Pc_k + p_{k+1}) - r_k)
+    BtPp = mv(
+        jnp.swapaxes(prob.Bd, -1, -2)[..., None, :, :],
+        gains.Pc + p_next,
+    )
+    kff = mv(gains.Minv, BtPp - r_lin)
+
+    # forward: x_{k+1} = Acl_k x_k + g_k
+    g = prob.c[..., None, :] - mv(
+        prob.Bd[..., None, :, :], kff
+    )
+
+    def aff_fwd(ei, ej):
+        # later ∘ earlier (prefix composition in index order)
+        Fi, si = ei
+        Fj, sj = ej
+        return mm(Fj, Fi), mv(Fj, si) + sj
+
+    T_F, T_s = jax.lax.associative_scan(
+        aff_fwd, (gains.Acl, g), axis=gains.Acl.ndim - 3
+    )
+    x_later = mv(T_F, prob.x0[..., None, :]) + T_s   # x_{k+1}, k=0..h-1
+    x = jnp.concatenate(
+        [prob.x0[..., None, :], x_later[..., : h - 1, :]], axis=-2
+    )
+    return -mv(gains.K, x) - kff
+
+
 def solve(
     prob: StagewiseProblem, cfg: ADMMConfig
 ) -> tuple[jnp.ndarray, dict]:
@@ -153,12 +373,15 @@ def solve(
     y = jnp.zeros(batch + (h, 20), dtype)
     U = jnp.zeros(batch + (h, NU), dtype)
 
+    # factorize ONCE: the LQR quadratics don't depend on the iterate
+    gains = lqr_factorize(prob, G)
+
     def iteration(carry, _):
         U, z, y = carry
         r_lin = con.apply_T(
             prob.F, (rho * z - y).reshape(batch + (h * 20,))
         ).reshape(batch + (h, NU))
-        U_new = lqr_solve(prob, G, r_lin)
+        U_new = lqr_apply(gains, prob, r_lin)
         Fu_new = con.apply(prob.F, U_new.reshape(batch + (h * NU,))).reshape(
             batch + (h, 20)
         )

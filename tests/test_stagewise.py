@@ -95,3 +95,52 @@ def test_long_horizon_runs():
     U, _ = qp_stagewise.solve(sw_long, ADMMConfig(iterations=100))
     assert U.shape == (h, 12)
     assert np.isfinite(np.asarray(U)).all()
+
+
+def test_parallel_lqr_matches_sequential():
+    """lqr_factorize + lqr_apply (associative-scan Riccati with cached
+    gains) must reproduce the sequential backward/forward lqr_solve
+    exactly (both are exact solvers of the same equality-constrained
+    LQT)."""
+    for h in (4, 10, 32):
+        qp, sw, cfg, table = make_problems(h, seed=7 + h)
+        rng = np.random.default_rng(h)
+        r_lin = jnp.asarray(rng.normal(0, 5.0, (h, 12)))
+        G = 1e-3 * (jnp.swapaxes(sw.F, -1, -2) @ sw.F)
+        U_seq = qp_stagewise.lqr_solve(sw, G, r_lin)
+        gains = qp_stagewise.lqr_factorize(sw, G)
+        U_par = qp_stagewise.lqr_apply(gains, sw, r_lin)
+        np.testing.assert_allclose(
+            np.asarray(U_par), np.asarray(U_seq), rtol=1e-6, atol=1e-7,
+        )
+
+
+def test_parallel_lqr_batched():
+    qp, sw, cfg, table = make_problems(8, seed=3)
+    # batch of 3 by stacking perturbed copies
+    def stack(t):
+        return jnp.stack([t, t * 1.01 if t.dtype.kind == "f" else t, t])
+    import numpy as _np
+    sw3 = qp_stagewise.StagewiseProblem(
+        Ad=jnp.stack([sw.Ad] * 3), Bd=jnp.stack([sw.Bd] * 3),
+        c=jnp.stack([sw.c, sw.c * 0.5, sw.c * 2.0]),
+        x0=jnp.stack([sw.x0, sw.x0 * 1.1, sw.x0 * 0.9]),
+        x_ref=jnp.stack([sw.x_ref] * 3),
+        Q=sw.Q, R=sw.R, F=sw.F,
+        l=jnp.stack([sw.l] * 3), u=jnp.stack([sw.u] * 3),
+    )
+    rng = np.random.default_rng(0)
+    r3 = jnp.asarray(rng.normal(0, 5.0, (3, 8, 12)))
+    G = 1e-3 * (jnp.swapaxes(sw.F, -1, -2) @ sw.F)
+    gains = qp_stagewise.lqr_factorize(sw3, G)
+    U3 = qp_stagewise.lqr_apply(gains, sw3, r3)
+    for i in range(3):
+        swi = qp_stagewise.StagewiseProblem(
+            Ad=sw3.Ad[i], Bd=sw3.Bd[i], c=sw3.c[i], x0=sw3.x0[i],
+            x_ref=sw3.x_ref[i], Q=sw.Q, R=sw.R, F=sw.F,
+            l=sw3.l[i], u=sw3.u[i],
+        )
+        Ui = qp_stagewise.lqr_solve(swi, G, r3[i])
+        np.testing.assert_allclose(
+            np.asarray(U3[i]), np.asarray(Ui), rtol=1e-6, atol=1e-7,
+        )

@@ -25,8 +25,13 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=10)
     ap.add_argument("--iters", type=int, default=100)
     ap.add_argument("--horizons", default="10,16,32,64")
-    ap.add_argument("--skip-condensed-at", type=int, default=33,
-                    help="skip condensed path for h >= this (memory)")
+    # The condensed Hessian's f32 dynamic range collapses beyond h ~ 20
+    # (P-norm grows ~h^3 against alpha = 4e-5: numerically indefinite,
+    # ADMM diverges even with an EXACT inverse — measured at h=32).  The
+    # reference hard-caps h at 19 for the same formulation
+    # (SolverMPC.cpp:113); long horizons are the stagewise path's job.
+    ap.add_argument("--skip-condensed-at", type=int, default=20,
+                    help="skip condensed path for h >= this (f32 range)")
     args = ap.parse_args()
 
     import jax
