@@ -5,11 +5,16 @@ the reference hands the non-condensed stage-wise QP (per-step dynamics
 equality triples, z-force bounds, friction pyramids,
 SparseCMPC.cpp:191-336) to OSQP's generic sparse ADMM.  The TPU-native
 formulation specializes the linear algebra instead: the ADMM x-update is
-an equality-constrained tracking LQR solved by a Riccati sweep
-(jax.lax.scan over stages, O(h) with 13x13/13x12 blocks), so cost per
-iteration is linear in horizon instead of the condensed method's O(h^2)
-memory / O(h^3) factorization — the "sequence-parallel analog" axis of
-SURVEY.md section 5 (an associative-scan Riccati is the follow-on).
+an equality-constrained tracking LQR.  Production path (solve):
+lqr_factorize computes the iteration-invariant value quadratics and
+gains ONCE per solve via an associative-scan Riccati (parallel in time,
+O(log h) depth — the "sequence parallel" axis of SURVEY.md section 5);
+each ADMM iteration then costs two affine associative scans
+(lqr_apply).  A sequential reference implementation (lqr_solve) is kept
+for testing.  Beyond speed, this formulation is the long-horizon path
+full stop: the condensed Hessian's f32 dynamic range collapses past
+h ~ 20 (the reference hard-caps h = 19, SolverMPC.cpp:113), while the
+stage-wise quadratics stay O(1) in h.
 
 Splitting (same cone as the condensed path, ops/constraints.py):
 
