@@ -146,11 +146,21 @@ def ns_inverse(
         X0 = X_cold
         iters_eff = jnp.asarray(iters)
     else:
-        R = eye - mm(X0, K)
-        r = jnp.max(jnp.sum(jnp.abs(R), axis=-1), axis=-1)
+        # The seed-residual product doubles as the first NS round:
+        # X(2I - KX) == (2I - XK)X, so M = X0 K serves both the
+        # contractivity gate (R = I - M) and the first update — one full
+        # batched GEMM saved per warm solve.  The cold fallback's product
+        # is free: X_cold K = K / ||K||_inf (elementwise).
+        M = mm(X0, K)
+        r = jnp.max(jnp.sum(jnp.abs(eye - M), axis=-1), axis=-1)
         contractive = r < 0.9
-        X0 = jnp.where(contractive[..., None, None], X0, X_cold)
-        iters_eff = jnp.where(jnp.all(contractive), warm_iters, iters)
+        c = contractive[..., None, None]
+        X0 = jnp.where(c, X0, X_cold)
+        M = jnp.where(c, M, K / norminf[..., None, None])
+        X0 = mm(2.0 * eye - M, X0)
+        iters_eff = jnp.maximum(
+            jnp.where(jnp.all(contractive), warm_iters, iters) - 1, 0
+        )
 
     def cond(carry):
         _, k = carry

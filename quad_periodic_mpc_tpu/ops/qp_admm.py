@@ -233,9 +233,11 @@ def _kkt_inverse_woodbury(
         "...kc,c->...k", (rho - rho_u).reshape(rho.shape[:-1] + (k, c)), fz2
     )                                                     # (..., k)
 
-    zidx = jnp.arange(a - 1, n, a)                        # z-variable columns
-    B = K0_inv[..., :, zidx]                              # (..., n, k)
-    S = B[..., zidx, :]                                   # (..., k, k)
+    # z-variable columns are the strided set (a-1, 2a-1, ...): select by
+    # reshape + slice (pure view ops) instead of gather.
+    lead = K0_inv.shape[:-2]
+    B = K0_inv.reshape(lead + (n, k, a))[..., a - 1]      # (..., n, k)
+    S = B.reshape(lead + (k, a, k))[..., a - 1, :]        # (..., k, k)
     eye_k = jnp.eye(k, dtype=dtype)
 
     # Symmetrized form: W = I + D^{1/2} S D^{1/2} is SPD with spectrum in

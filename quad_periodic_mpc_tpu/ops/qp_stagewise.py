@@ -355,10 +355,314 @@ def lqr_apply(
     return -mv(gains.K, x) - kff
 
 
+# ---------------------------------------------------------------------------
+# Lane-major ("packed") implementation — the production TPU path.
+#
+# The (13, 13) value/transition blocks are ~10x smaller than the TPU's
+# native (8, 128) vector tile, so the batched-matmul layout (..., 13, 13)
+# pads every block to a full tile: measured 4.0 ms per (65536, 13, 13)
+# batched matmul on v5e.  Packing the BATCH into the 128-lane minor axis
+# instead — arrays (h, 13, 13, B) — turns each block matmul into 13^3
+# broadcast-multiply-reduce VPU ops over full lanes: 0.11 ms for the same
+# workload (36x; tools/time_block13.py).  All f32 VPU arithmetic, so this
+# layout is also EXACTER than the MXU path (no bf16 passes).
+# ---------------------------------------------------------------------------
+
+
+def _pmm(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Lane-major block matmul: (..., i, j, B) x (..., j, k, B)."""
+    return (a[..., :, :, None, :] * b[..., None, :, :, :]).sum(-3)
+
+
+def _pmv(a: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Lane-major block matvec: (..., i, j, B) x (..., j, B)."""
+    return (a * v[..., None, :, :]).sum(-2)
+
+
+def _ptr(a: jnp.ndarray) -> jnp.ndarray:
+    return jnp.swapaxes(a, -3, -2)
+
+
+def _pns_posspec_inverse(M: jnp.ndarray, iters: int = 24) -> jnp.ndarray:
+    """_ns_posspec_inverse in lane-major layout (exact f32 VPU math)."""
+    n = M.shape[-2]
+    eye = jnp.eye(n, dtype=M.dtype)[..., None]
+    norm = jnp.max(jnp.sum(jnp.abs(M), axis=-2), axis=-2)
+    X = eye / norm[..., None, None, :]
+
+    def body(_, X):
+        MX = _pmm(M, X)
+        return _pmm(X, 2.0 * eye - MX)
+
+    return jax.lax.fori_loop(0, iters, body, X)
+
+
+class LQRGainsPacked(NamedTuple):
+    """lane-major LQRGains: block arrays are (h, r, c, B), vectors (h, r, B).
+
+    PF_back/PF_fwd/T_F cache the recursive-doubling transition products of
+    the backward (Ft) and forward (Acl) affine scans.  The scans' matrix
+    parts are ITERATION-INVARIANT — only the vector parts change per ADMM
+    iteration — so each lqr_apply level needs one matvec instead of a
+    matmul + matvec (13x less work per level)."""
+
+    K: jnp.ndarray
+    Minv: jnp.ndarray
+    G: jnp.ndarray
+    Ft: jnp.ndarray
+    Acl: jnp.ndarray
+    Pc: jnp.ndarray
+    q_stage: jnp.ndarray
+    p_T: jnp.ndarray     # (13, B)
+    PF_back: tuple       # level-d products of [Ft..., 0]: (h+1, 13, 13, B)
+    PF_fwd: tuple        # level-d products of Acl: (h, 13, 13, B)
+    T_F: jnp.ndarray     # (h, 13, 13, B) full prefix Acl_k ... Acl_0
+
+
+def _doubling_products(F: jnp.ndarray, reverse: bool) -> tuple[tuple, jnp.ndarray]:
+    """Per-level transition products for a recursive-doubling affine scan.
+
+    For the suffix (reverse=True) recursion p_k = s_k + F_k p_{k+1} the
+    level-d update is  v_k += M_k v_{k+d},  M_k <- M_k M_{k+d}  (zero
+    past the end); for the prefix (reverse=False) recursion
+    x_{k+1} = A_k x_k + g_k it is  v_k += M_k v_{k-d},  M_k <- M_k M_{k-d}.
+    Returns (per-level M tuple, final full product)."""
+    L = F.shape[0]
+    levels = []
+    M = F
+    d = 1
+    while d < L:
+        levels.append(M)
+        if reverse:
+            # past-the-end transitions are zero (the terminal element's F
+            # is the zero block), matching the zero-padded vector shifts
+            Ms = jnp.concatenate([M[d:], jnp.zeros_like(M[:d])], axis=0)
+        else:
+            # before-the-start products are complete already: identity pad
+            eye = jnp.broadcast_to(
+                jnp.eye(M.shape[1], dtype=M.dtype)[..., None], M[:d].shape
+            )
+            Ms = jnp.concatenate([eye, M[:-d]], axis=0)
+        M = _pmm(M, Ms)
+        d *= 2
+    return tuple(levels), M
+
+
+def _doubling_apply(
+    levels: tuple, v: jnp.ndarray, reverse: bool
+) -> jnp.ndarray:
+    """Run the vector half of the doubling scan with cached products."""
+    d = 1
+    for M in levels:
+        if reverse:
+            vs = jnp.concatenate([v[d:], jnp.zeros_like(v[:d])], axis=0)
+        else:
+            vs = jnp.concatenate([jnp.zeros_like(v[:d]), v[:-d]], axis=0)
+        v = v + _pmv(M, vs)
+        d *= 2
+    return v
+
+
+def lqr_factorize_packed(
+    Ad: jnp.ndarray,      # (13, 13, B)
+    Bd: jnp.ndarray,      # (13, 12, B)
+    c: jnp.ndarray,       # (13, B)
+    x_ref: jnp.ndarray,   # (h, 13, B)
+    Q: jnp.ndarray,       # (13,)
+    R: jnp.ndarray,       # (12,)
+    R_eff_diag_extra: jnp.ndarray,   # (3, 3)
+) -> LQRGainsPacked:
+    """lqr_factorize in lane-major layout (same math, see its docstring)."""
+    h = x_ref.shape[0]
+    B = x_ref.shape[-1]
+    dtype = x_ref.dtype
+    from quad_periodic_mpc_tpu.ops import linalg
+
+    Qm = jnp.diag(Q).astype(dtype)[..., None]                 # (13, 13, 1)
+    R_eff = jnp.diag(R).astype(dtype) + jnp.kron(
+        jnp.eye(4, dtype=dtype), R_eff_diag_extra.astype(dtype)
+    )                                                          # (12, 12)
+    R_inv = linalg.ns_inverse(
+        R_eff, iters=30, precision=jax.lax.Precision.HIGHEST
+    )
+    C_step = _pmm(_pmm(Bd, R_inv[..., None]), _ptr(Bd))        # (13, 13, B)
+
+    q_lin = -(Q.astype(dtype)[None, :, None] * x_ref)          # (h, 13, B)
+    mask = jnp.concatenate(
+        [jnp.zeros((1,), dtype), jnp.ones((h - 1,), dtype)]
+    )
+
+    zblk = jnp.zeros((1, NX, NX, B), dtype)
+    A_el = jnp.concatenate(
+        [jnp.broadcast_to(Ad[None], (h, NX, NX, B)), zblk], axis=0
+    )
+    C_el = jnp.concatenate(
+        [jnp.broadcast_to(C_step[None], (h, NX, NX, B)), zblk], axis=0
+    )
+    J_el = jnp.concatenate(
+        [mask[:, None, None, None] * Qm[None], Qm[None]], axis=0
+    )
+    J_el = jnp.broadcast_to(J_el, (h + 1, NX, NX, B))
+
+    eye = jnp.eye(NX, dtype=dtype)[..., None]
+
+    def combine(ej, ei):
+        # reverse=True flips the sequence: first arg is the LATER element
+        Ai, Ci, Ji = ei
+        Aj, Cj, Jj = ej
+        D = _pns_posspec_inverse(eye + _pmm(Ci, Jj))
+        AjD = _pmm(Aj, D)
+        A = _pmm(AjD, Ai)
+        C = _pmm(_pmm(AjD, Ci), _ptr(Aj)) + Cj
+        J = _pmm(_pmm(_ptr(Ai), _pmm(_ptr(D), Jj)), Ai) + Ji
+        return A, (C + _ptr(C)) / 2.0, (J + _ptr(J)) / 2.0
+
+    _, _, J_suf = jax.lax.associative_scan(
+        combine, (A_el, C_el, J_el), reverse=True, axis=0
+    )
+    P = J_suf[1:]                                              # (h,13,13,B)
+
+    Bh = Bd[None]
+    Ah = Ad[None]
+    BtP = _pmm(_ptr(Bh), P)                                    # (h,12,13,B)
+    M = R_eff[None, :, :, None] + _pmm(BtP, Bh)
+    Minv = _pns_posspec_inverse(M, 24)
+    Qux = _pmm(BtP, Ah)                                        # (h,12,13,B)
+    K = _pmm(Minv, Qux)
+    G = _pmm(_ptr(Qux), Minv)                                  # (h,13,12,B)
+    Ft = _ptr(Ah) - _pmm(G, _ptr(Bh))
+    Acl = Ah - _pmm(Bh, K)
+    Pc = _pmv(P, c[None])
+
+    q_stage = jnp.concatenate(
+        [jnp.zeros((1, NX, B), dtype), q_lin[: h - 1]], axis=0
+    )
+    F_elems = jnp.concatenate(
+        [Ft, jnp.zeros((1, NX, NX, B), dtype)], axis=0
+    )
+    PF_back, _ = _doubling_products(F_elems, reverse=True)
+    PF_fwd, T_F = _doubling_products(Acl, reverse=False)
+    return LQRGainsPacked(
+        K=K, Minv=Minv, G=G, Ft=Ft, Acl=Acl, Pc=Pc,
+        q_stage=q_stage, p_T=q_lin[h - 1],
+        PF_back=PF_back, PF_fwd=PF_fwd, T_F=T_F,
+    )
+
+
+def lqr_apply_packed(
+    gains: LQRGainsPacked,
+    Bd: jnp.ndarray,       # (13, 12, B)
+    c: jnp.ndarray,        # (13, B)
+    x0: jnp.ndarray,       # (13, B)
+    r_lin: jnp.ndarray,    # (h, 12, B)
+) -> jnp.ndarray:
+    """lqr_apply in lane-major layout: returns U (h, 12, B)."""
+    h = r_lin.shape[0]
+
+    s = gains.q_stage + _pmv(gains.Ft, gains.Pc) + _pmv(gains.G, r_lin)
+    s_elems = jnp.concatenate([s, gains.p_T[None]], axis=0)
+
+    # backward costate: doubling scan with cached transition products —
+    # matvec-only per level (the matmul half lives in lqr_factorize_packed)
+    p_all = _doubling_apply(gains.PF_back, s_elems, reverse=True)
+    p_next = p_all[1:]
+
+    BtPp = _pmv(_ptr(Bd)[None], gains.Pc + p_next)
+    kff = _pmv(gains.Minv, BtPp - r_lin)
+    g = c[None] - _pmv(Bd[None], kff)
+
+    # forward closed-loop rollout: same cached-product doubling scan
+    T_s = _doubling_apply(gains.PF_fwd, g, reverse=False)
+    x_later = _pmv(gains.T_F, x0[None]) + T_s
+    x = jnp.concatenate([x0[None], x_later[: h - 1]], axis=0)
+    return -_pmv(gains.K, x) - kff
+
+
+def _pcone_apply(F: jnp.ndarray, U: jnp.ndarray) -> jnp.ndarray:
+    """(h, 12, B) -> (h, 20, B): per-leg F u (5 rows/leg, leg-major)."""
+    h, _, B = U.shape
+    u4 = U.reshape(h, 4, 3, B)
+    Fu = (F[None, None, :, :, None] * u4[:, :, None, :, :]).sum(-2)
+    return Fu.reshape(h, 20, B)
+
+
+def _pcone_apply_T(F: jnp.ndarray, V: jnp.ndarray) -> jnp.ndarray:
+    """(h, 20, B) -> (h, 12, B): per-leg F^T v."""
+    h, _, B = V.shape
+    v4 = V.reshape(h, 4, 5, B)
+    r = (F[None, None, :, :, None] * v4[..., None, :]).sum(2)
+    return r.reshape(h, 12, B)
+
+
 def solve(
     prob: StagewiseProblem, cfg: ADMMConfig
 ) -> tuple[jnp.ndarray, dict]:
-    """ADMM with Riccati x-update.  Returns (U (..., h, 12), info)."""
+    """ADMM with Riccati x-update.  Returns (U (..., h, 12), info).
+
+    Production path: lane-major packed layout (batch in the 128-lane
+    minor axis; see the layout note above lqr_factorize_packed).  The
+    batched-matmul implementations (lqr_factorize/lqr_apply) are kept as
+    the cross-check reference (solve_blocked).
+    """
+    dtype = prob.x0.dtype
+    h = prob.x_ref.shape[-2]
+    batch = prob.x0.shape[:-1]
+    B = 1
+    for d in batch:
+        B *= d
+
+    # pack: leading batch dims -> single minor lane axis
+    pm = lambda t, r, c_: jnp.moveaxis(
+        jnp.broadcast_to(t, batch + (r, c_)).reshape((B, r, c_)), 0, -1
+    )
+    pv = lambda t, r: jnp.moveaxis(
+        jnp.broadcast_to(t, batch + (r,)).reshape((B, r)), 0, -1
+    )
+    pseq = lambda t, r: jnp.moveaxis(
+        jnp.broadcast_to(t, batch + (h, r)).reshape((B, h, r)), 0, -1
+    )                         # (B, h, r) -> (h, r, B)
+
+    Ad = pm(prob.Ad, NX, NX)
+    Bd = pm(prob.Bd, NX, NU)
+    c = pv(prob.c, NX)
+    x0 = pv(prob.x0, NX)
+    x_ref = pseq(prob.x_ref, NX)
+    l_p = pseq(prob.l, 20)
+    u_p = pseq(prob.u, 20)
+
+    rho = jnp.asarray(cfg.rho, dtype)
+    G = rho * (jnp.swapaxes(prob.F, -1, -2) @ prob.F)
+    gains = lqr_factorize_packed(
+        Ad, Bd, c, x_ref, prob.Q.astype(dtype), prob.R.astype(dtype), G
+    )
+
+    z = jnp.zeros((h, 20, B), dtype)
+    y = jnp.zeros((h, 20, B), dtype)
+    U = jnp.zeros((h, NU, B), dtype)
+    F = prob.F.astype(dtype)
+
+    def iteration(carry, _):
+        U, z, y = carry
+        r_lin = _pcone_apply_T(F, rho * z - y)
+        U_new = lqr_apply_packed(gains, Bd, c, x0, r_lin)
+        Fu_new = _pcone_apply(F, U_new)
+        z_new = jnp.clip(Fu_new + y / rho, l_p, u_p)
+        y_new = y + rho * (Fu_new - z_new)
+        return (U_new, z_new, y_new), None
+
+    (U, z, y), _ = jax.lax.scan(
+        iteration, (U, z, y), None, length=cfg.iterations
+    )
+    # unpack: (h, r, B) -> (batch..., h, r)
+    unpack = lambda t: jnp.moveaxis(t, -1, 0).reshape(batch + t.shape[:-1])
+    return unpack(U), {"z": unpack(z), "y": unpack(y)}
+
+
+def solve_blocked(
+    prob: StagewiseProblem, cfg: ADMMConfig
+) -> tuple[jnp.ndarray, dict]:
+    """ADMM with Riccati x-update in batched-matmul layout (cross-check
+    reference for solve; same math, MXU-tiled (..., 13, 13) blocks)."""
     dtype = prob.x0.dtype
     h = prob.x_ref.shape[-2]
     batch = prob.x0.shape[:-1]

@@ -144,3 +144,37 @@ def test_parallel_lqr_batched():
         np.testing.assert_allclose(
             np.asarray(U3[i]), np.asarray(Ui), rtol=1e-6, atol=1e-7,
         )
+
+
+def test_packed_solve_matches_blocked():
+    """The lane-major packed production path (solve) must reproduce the
+    batched-matmul reference implementation (solve_blocked) — same math,
+    different TPU layout."""
+    _, sw, _, _ = make_problems(12, seed=7)
+    cfg = ADMMConfig(iterations=60)
+    U_p, info_p = qp_stagewise.solve(sw, cfg)
+    U_b, info_b = qp_stagewise.solve_blocked(sw, cfg)
+    np.testing.assert_allclose(np.asarray(U_p), np.asarray(U_b), atol=2e-3)
+    np.testing.assert_allclose(
+        np.asarray(info_p["y"]), np.asarray(info_b["y"]), atol=2e-3
+    )
+
+
+def test_packed_solve_batched():
+    """Packed layout with a leading batch dim: per-instance results must
+    match independently solved instances."""
+    sws = [make_problems(8, seed=s)[1] for s in (1, 2, 3)]
+    import jax
+
+    sw3 = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs) if xs[0].ndim or True else xs[0], *sws
+    )
+    # shared (unbatched) fields: F, Q, R stay unstacked
+    sw3 = sw3._replace(F=sws[0].F, Q=sws[0].Q, R=sws[0].R)
+    cfg = ADMMConfig(iterations=60)
+    U3, _ = qp_stagewise.solve(sw3, cfg)
+    for i, swi in enumerate(sws):
+        Ui, _ = qp_stagewise.solve(swi, cfg)
+        np.testing.assert_allclose(
+            np.asarray(U3[i]), np.asarray(Ui), atol=1e-4
+        )
