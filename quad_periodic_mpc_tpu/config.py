@@ -79,12 +79,15 @@ class ADMMConfig:
     ns_iters: int = 30
     # Adaptive NS trip count: ns_warm_iters quadratic rounds when every
     # instance carries a contractive warm K^{-1} seed, ns_iters otherwise.
-    # 2 suffices: the measured steady-trot seed residual is <= 0.056
-    # (||I - X_prev K0_new||_inf over a 40-step rollout, K0 drifting with
-    # yaw/foot placement), so two quadratic rounds land at ~1e-5 — far
-    # below both the f32 matmul floor and the bf16 K^{-1} storage error
-    # (~4e-3) of the production Pallas path.
-    ns_warm_iters: int = 2
+    # 1 suffices: the seed-residual product doubles as a free first NS
+    # round (linalg.ns_inverse), and the measured steady-trot seed
+    # residual <= 0.056 (||I - X_prev K0_new||_inf over a 40-step
+    # rollout, K0 drifting with yaw/foot placement) lands at ~3e-3 after
+    # one quadratic round — already below the default-precision matmul
+    # floor and the bf16 K^{-1} storage error (~4e-3) of the production
+    # Pallas path, so further rounds are pure waste (closed-loop ADMM-30
+    # warm still matches PDIP, test_closed_loop).
+    ns_warm_iters: int = 1
     # Per-iteration K-residual refinement of the x-update.  Measured
     # unnecessary at ns_tol <= 1e-2 (f32 solve error ~1 mN either way);
     # enable only for ill-conditioned custom weight sets.
@@ -100,6 +103,12 @@ class ADMMConfig:
     # Constraint-type-dependent rho scaling (OSQP "rho_eq" analog): rows
     # whose bounds pin z (l == u) get rho * eq_scale.
     eq_scale: float = 1e3
+    # QP formulation: "condensed" (dense 12h-var QP, the reference's
+    # SolverMPC shape — fastest at h <= 16) or "stagewise" (Riccati-ADMM
+    # over per-stage variables, ops/qp_stagewise.py — the long-horizon
+    # path; the condensed Hessian's f32 range collapses past h ~ 20, which
+    # is why the reference hard-caps h = 19, SolverMPC.cpp:113).
+    formulation: str = "condensed"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -117,9 +117,15 @@ def init_state(
     window: int = 400,
     dtype=jnp.float32,
     horizon: int = 10,
+    formulation: str = "condensed",
 ) -> ControllerState:
-    """firstRun initialization (ConvexMPCLocomotion.cpp:249-274)."""
+    """firstRun initialization (ConvexMPCLocomotion.cpp:249-274).
+
+    formulation="stagewise" skips the (12h)^2 carried-K^{-1} buffer (the
+    Riccati path refactorizes per solve; only x/z/y warm-carry applies).
+    """
     z = lambda *s: jnp.zeros(batch + s, dtype)
+    kn = 12 * horizon if formulation == "condensed" else 1
     wpd = jnp.concatenate(
         [obs.p[..., :2], jnp.full(batch + (1,), 0.24, dtype)], axis=-1
     )
@@ -143,7 +149,7 @@ def init_state(
         warm_x=z(12 * horizon),
         warm_z=z(20 * horizon),
         warm_y=z(20 * horizon),
-        warm_kinv=z(12 * horizon, 12 * horizon),
+        warm_kinv=z(kn, kn),
     )
 
 
@@ -294,11 +300,32 @@ def mpc_step(
     qp_obs = problem.RobotObs(
         p=p_used, v=obs.v, quat=obs.quat, omega=obs.omega, r_feet=r_feet
     )
-    qp, pred, x0 = problem.build_qp(
-        qp_obs, x_ref, table, mpc, f_est=f_for_qp, x_drag=x_comp,
-        f_est_steps=f_steps,
-    )
-    if isinstance(solver, ADMMConfig):
+    if isinstance(solver, ADMMConfig) and solver.formulation == "stagewise":
+        # long-horizon path: no condensation, Riccati-ADMM x-update
+        from quad_periodic_mpc_tpu.ops import qp_stagewise
+
+        sw, pred, x0 = problem.build_stagewise(
+            qp_obs, x_ref, table, mpc, f_est=f_for_qp, x_drag=x_comp,
+            f_est_steps=f_steps,
+        )
+        lead = sw.x0.shape[:-1]
+        warm_sw = (
+            state.warm_x.reshape(lead + (mpc.horizon, 12)),
+            state.warm_z.reshape(lead + (mpc.horizon, 20)),
+            state.warm_y.reshape(lead + (mpc.horizon, 20)),
+        )
+        U, info = qp_stagewise.solve(sw, solver, warm=warm_sw)
+        state = state._replace(
+            warm_x=U.reshape(lead + (mpc.horizon * 12,)),
+            warm_z=info["z"].reshape(lead + (mpc.horizon * 20,)),
+            warm_y=info["y"].reshape(lead + (mpc.horizon * 20,)),
+        )
+        u_sol = U.reshape(lead + (mpc.horizon * 12,))
+    elif isinstance(solver, ADMMConfig):
+        qp, pred, x0 = problem.build_qp(
+            qp_obs, x_ref, table, mpc, f_est=f_for_qp, x_drag=x_comp,
+            f_est_steps=f_steps,
+        )
         warm = qp_admm.ADMMState(
             x=state.warm_x, z=state.warm_z, y=state.warm_y,
             kinv=state.warm_kinv,
@@ -309,6 +336,10 @@ def mpc_step(
             warm_kinv=warm_out.kinv,
         )
     else:
+        qp, pred, x0 = problem.build_qp(
+            qp_obs, x_ref, table, mpc, f_est=f_for_qp, x_drag=x_comp,
+            f_est_steps=f_steps,
+        )
         u_sol, _ = qp_pdip.solve(qp, solver)
 
     forces = u_sol.reshape(u_sol.shape[:-1] + (mpc.horizon, 4, 3))

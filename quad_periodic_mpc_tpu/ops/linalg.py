@@ -6,6 +6,50 @@ import jax
 import jax.numpy as jnp
 
 
+# ---------------------------------------------------------------------------
+# Lane-major block algebra.
+#
+# For blocks much smaller than the TPU's (8, 128) vector tile, the batched
+# matmul layout (..., r, c) pads every block to a full tile (~10x lane
+# waste at r = c = 13).  Packing the BATCH into the 128-lane minor axis —
+# arrays (..., r, c, B) — turns each block matmul into r*c*k broadcast-
+# multiply-reduce VPU ops over full lanes: measured 36x faster at (13, 13)
+# blocks, batch 65536 (tools/time_block13.py), and exact f32 (no bf16
+# matmul passes).  Used by the stage-wise Riccati solver and the Woodbury
+# capacitance correction.
+# ---------------------------------------------------------------------------
+
+
+def lane_mm(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Lane-major block matmul: (..., i, j, B) x (..., j, k, B)."""
+    return (a[..., :, :, None, :] * b[..., None, :, :, :]).sum(-3)
+
+
+def lane_mv(a: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Lane-major block matvec: (..., i, j, B) x (..., j, B)."""
+    return (a * v[..., None, :, :]).sum(-2)
+
+
+def lane_t(a: jnp.ndarray) -> jnp.ndarray:
+    """Transpose the block dims of a lane-major array."""
+    return jnp.swapaxes(a, -3, -2)
+
+
+def lane_ns_inverse(M: jnp.ndarray, iters: int) -> jnp.ndarray:
+    """Newton-Schulz inverse in lane-major layout for a block family with
+    real spectrum bounded below (SPD, or I + PSD*PSD products); exact f32
+    VPU arithmetic — no matmul-precision escalation needed."""
+    n = M.shape[-2]
+    eye = jnp.eye(n, dtype=M.dtype)[..., None]
+    norm = jnp.max(jnp.sum(jnp.abs(M), axis=-2), axis=-2)
+    X = eye / norm[..., None, None, :]
+
+    def body(_, X):
+        return lane_mm(X, 2.0 * eye - lane_mm(M, X))
+
+    return jax.lax.fori_loop(0, iters, body, X)
+
+
 def add_block_diag(K: jnp.ndarray, G: jnp.ndarray) -> jnp.ndarray:
     """K + blockdiag(G): K (..., k*b, k*b), G (..., k, b, b)."""
     batch = K.shape[:-2]

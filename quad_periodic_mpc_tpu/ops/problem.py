@@ -77,3 +77,54 @@ def build_qp(
     F = constraints.pyramid_block(cfg.mu, dtype)
 
     return QPData(P=P, q=q, F=F, l=l, u=u), pred, x0
+
+
+def build_stagewise(
+    obs: RobotObs,
+    x_ref: jnp.ndarray,
+    gait_table: jnp.ndarray,
+    cfg: MPCConfig,
+    f_est: jnp.ndarray | None = None,
+    x_drag: jnp.ndarray | float = 0.0,
+    f_est_steps: jnp.ndarray | None = None,
+):
+    """Assemble the stage-wise (non-condensed) problem — the long-horizon
+    path.  Skips the O(h^2) condensation entirely: the stage quadratics
+    (Q, R) equal the condensed cost exactly (qp_stagewise module doc), the
+    per-step affine term carries the Q_d disturbance augmentation
+    (SolverMPC.cpp:810), and the friction bounds are identical.
+
+    Returns (StagewiseProblem, prediction, x0).
+    """
+    from quad_periodic_mpc_tpu.ops import qp_stagewise
+
+    h = cfg.horizon
+    dtype = obs.p.dtype
+    R = quat_to_rotmat(obs.quat)
+    rpy = quat_to_rpy(obs.quat)
+    x0 = srb.pack_state(rpy, obs.p, obs.omega, obs.v, cfg.gravity)
+
+    I_body = jnp.asarray(cfg.inertia_body, dtype)
+    A_ct, B_ct, Q_ct = srb.ct_dynamics(R, obs.r_feet, cfg.mass, I_body, x_drag)
+    pred = condense.build_prediction(A_ct, B_ct, Q_ct, cfg.dt_mpc)
+
+    if f_est_steps is not None:
+        # per-step wrench prediction: c_k = Q_d @ f_k, (..., h, 13)
+        c = jnp.einsum("...nw,...hw->...hn", pred.Qdt, f_est_steps)
+    else:
+        if f_est is None:
+            f_est = jnp.zeros(x0.shape[:-1] + (6,), dtype)
+        c = jnp.einsum("...nw,...w->...n", pred.Qdt, f_est)
+
+    weights = jnp.asarray(cfg.weights, dtype)
+    l, u = constraints.bounds(gait_table, cfg.f_max, cfg.big_number)
+    batch = l.shape[:-3]
+    sw = qp_stagewise.StagewiseProblem(
+        Ad=pred.Adt, Bd=pred.Bdt, c=c, x0=x0, x_ref=x_ref,
+        Q=2.0 * condense.full_weight(weights),
+        R=2.0 * cfg.alpha * jnp.ones(12, dtype),
+        F=constraints.pyramid_block(cfg.mu, dtype),
+        l=l.reshape(batch + (h, 20)),
+        u=jnp.minimum(u, 1e4).reshape(batch + (h, 20)),
+    )
+    return sw, pred, x0

@@ -237,41 +237,36 @@ def _kkt_inverse_woodbury(
     # reshape + slice (pure view ops) instead of gather.
     lead = K0_inv.shape[:-2]
     B = K0_inv.reshape(lead + (n, k, a))[..., a - 1]      # (..., n, k)
-    S = B.reshape(lead + (k, a, k))[..., a - 1, :]        # (..., k, k)
-    eye_k = jnp.eye(k, dtype=dtype)
 
-    # Symmetrized form: W = I + D^{1/2} S D^{1/2} is SPD with spectrum in
-    # [1, 1 + ||D^{1/2} S D^{1/2}||] — inverted by a fixed Newton-Schulz
-    # loop (batched LU on TPU is slow and axon-fragile).  The final
-    # correction GEMMs run at HIGHEST (true f32) matmul precision: the
-    # correction cancels K0^{-1}'s large z-block down to the
-    # ~1/(rho eq_scale) bumped value, and the TPU's default bf16-input
-    # matmul turns that cancellation into garbage (ADMM then diverges on
-    # the pinned rows).  The NS loop itself is Jacobi-preconditioned
-    # (Ws = d^{-1/2} W d^{-1/2}, d = diag W): cond drops from ~1e2-1e3 to
-    # O(10), so 8 rounds at HIGH (3-pass bf16) replace 16 at HIGHEST —
-    # NS self-corrects per round, only the last round's rounding matters,
-    # and the HIGHEST final GEMMs preserve the cancellation.
-    hi = jax.lax.Precision.HIGHEST
-    hi3 = jax.lax.Precision.HIGH
-    dh = jnp.sqrt(delta)
-    W = eye_k + dh[..., :, None] * S * dh[..., None, :]
-    dw = jnp.sqrt(1.0 / (1.0 + delta * jnp.diagonal(S, axis1=-2, axis2=-1)))
-    Ws = dw[..., :, None] * W * dw[..., None, :]
-    norm = jnp.max(jnp.sum(jnp.abs(Ws), axis=-1), axis=-1)
-    X0 = jnp.broadcast_to(eye_k, W.shape) / norm[..., None, None]
+    # Capacitance solve + correction in LANE-MAJOR layout (batch in the
+    # 128-lane minor axis, ops/linalg.py lane_*): the k x k and n x k
+    # blocks sit far below the (8, 128) tile, and the VPU mul-reduce is
+    # EXACT f32 — which matters here, because the correction cancels
+    # K0^{-1}'s large z-block down to the ~1/(rho eq_scale) bumped value
+    # and bf16 matmul passes turn that cancellation into garbage (ADMM
+    # then diverges on the pinned rows; the earlier MXU formulation
+    # needed 6-pass HIGHEST GEMMs for the same reason — measured 3.1 ms
+    # vs ~1.5 ms here at batch 2048, h = 10).
+    # W = I + D^{1/2} S D^{1/2} is SPD with spectrum in [1, 1 + ||.||];
+    # Jacobi preconditioning (Ws = d^{-1/2} W d^{-1/2}, d = diag W) drops
+    # cond from ~1e2-1e3 to O(10), so 8 Newton-Schulz rounds reach the
+    # f32 floor.
+    Bm = jnp.moveaxis(B.reshape((-1, n, k)), 0, -1)       # (n, k, Bt)
+    S = Bm.reshape(k, a, k, -1)[:, a - 1]                 # (k, k, Bt)
+    dl = jnp.moveaxis(delta.reshape((-1, k)), 0, -1)      # (k, Bt)
+    eye_k = jnp.eye(k, dtype=dtype)[..., None]
 
-    def ns_round(_, X):
-        KX = jnp.einsum("...ij,...jk->...ik", Ws, X, precision=hi3)
-        return jnp.einsum(
-            "...ij,...jk->...ik", X, 2.0 * eye_k - KX, precision=hi3
-        )
-
-    X = jax.lax.fori_loop(0, 8, ns_round, X0)
-    X = dw[..., :, None] * X * dw[..., None, :]           # undo scaling
-    Bd = B * dh[..., None, :]                             # B D^{1/2}
-    XBt = jnp.einsum("...kl,...jl->...kj", X, Bd, precision=hi)
-    K_inv = K0_inv - jnp.einsum("...ik,...kj->...ij", Bd, XBt, precision=hi)
+    dh = jnp.sqrt(dl)
+    W = eye_k + dh[:, None, :] * S * dh[None, :, :]
+    diagS = S.reshape(k * k, -1)[:: k + 1]                # (k, Bt) diag(S)
+    dw = jnp.sqrt(1.0 / (1.0 + dl * diagS))
+    Ws = dw[:, None, :] * W * dw[None, :, :]
+    X = linalg.lane_ns_inverse(Ws, 8)
+    X = dw[:, None, :] * X * dw[None, :, :]               # undo scaling
+    Bd = Bm * dh[None, :, :]                              # B D^{1/2}
+    XBt = linalg.lane_mm(X, linalg.lane_t(Bd))            # (k, n, Bt)
+    corr = linalg.lane_mm(Bd, XBt)                        # (n, n, Bt)
+    K_inv = K0_inv - jnp.moveaxis(corr, -1, 0).reshape(lead + (n, n))
     return K_inv, K0_inv
 
 

@@ -369,32 +369,17 @@ def lqr_apply(
 # ---------------------------------------------------------------------------
 
 
-def _pmm(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Lane-major block matmul: (..., i, j, B) x (..., j, k, B)."""
-    return (a[..., :, :, None, :] * b[..., None, :, :, :]).sum(-3)
-
-
-def _pmv(a: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
-    """Lane-major block matvec: (..., i, j, B) x (..., j, B)."""
-    return (a * v[..., None, :, :]).sum(-2)
-
-
-def _ptr(a: jnp.ndarray) -> jnp.ndarray:
-    return jnp.swapaxes(a, -3, -2)
+from quad_periodic_mpc_tpu.ops.linalg import (  # noqa: E402
+    lane_mm as _pmm,
+    lane_mv as _pmv,
+    lane_ns_inverse,
+    lane_t as _ptr,
+)
 
 
 def _pns_posspec_inverse(M: jnp.ndarray, iters: int = 24) -> jnp.ndarray:
     """_ns_posspec_inverse in lane-major layout (exact f32 VPU math)."""
-    n = M.shape[-2]
-    eye = jnp.eye(n, dtype=M.dtype)[..., None]
-    norm = jnp.max(jnp.sum(jnp.abs(M), axis=-2), axis=-2)
-    X = eye / norm[..., None, None, :]
-
-    def body(_, X):
-        MX = _pmm(M, X)
-        return _pmm(X, 2.0 * eye - MX)
-
-    return jax.lax.fori_loop(0, iters, body, X)
+    return lane_ns_inverse(M, iters)
 
 
 class LQRGainsPacked(NamedTuple):
@@ -466,7 +451,7 @@ def _doubling_apply(
 def lqr_factorize_packed(
     Ad: jnp.ndarray,      # (13, 13, B)
     Bd: jnp.ndarray,      # (13, 12, B)
-    c: jnp.ndarray,       # (13, B)
+    c: jnp.ndarray,       # (1 or h, 13, B) per-step affine term
     x_ref: jnp.ndarray,   # (h, 13, B)
     Q: jnp.ndarray,       # (13,)
     R: jnp.ndarray,       # (12,)
@@ -532,7 +517,7 @@ def lqr_factorize_packed(
     G = _pmm(_ptr(Qux), Minv)                                  # (h,13,12,B)
     Ft = _ptr(Ah) - _pmm(G, _ptr(Bh))
     Acl = Ah - _pmm(Bh, K)
-    Pc = _pmv(P, c[None])
+    Pc = _pmv(P, c)
 
     q_stage = jnp.concatenate(
         [jnp.zeros((1, NX, B), dtype), q_lin[: h - 1]], axis=0
@@ -552,7 +537,7 @@ def lqr_factorize_packed(
 def lqr_apply_packed(
     gains: LQRGainsPacked,
     Bd: jnp.ndarray,       # (13, 12, B)
-    c: jnp.ndarray,        # (13, B)
+    c: jnp.ndarray,        # (1 or h, 13, B) per-step affine term
     x0: jnp.ndarray,       # (13, B)
     r_lin: jnp.ndarray,    # (h, 12, B)
 ) -> jnp.ndarray:
@@ -569,7 +554,7 @@ def lqr_apply_packed(
 
     BtPp = _pmv(_ptr(Bd)[None], gains.Pc + p_next)
     kff = _pmv(gains.Minv, BtPp - r_lin)
-    g = c[None] - _pmv(Bd[None], kff)
+    g = c - _pmv(Bd[None], kff)
 
     # forward closed-loop rollout: same cached-product doubling scan
     T_s = _doubling_apply(gains.PF_fwd, g, reverse=False)
@@ -595,7 +580,9 @@ def _pcone_apply_T(F: jnp.ndarray, V: jnp.ndarray) -> jnp.ndarray:
 
 
 def solve(
-    prob: StagewiseProblem, cfg: ADMMConfig
+    prob: StagewiseProblem,
+    cfg: ADMMConfig,
+    warm: tuple | None = None,
 ) -> tuple[jnp.ndarray, dict]:
     """ADMM with Riccati x-update.  Returns (U (..., h, 12), info).
 
@@ -603,6 +590,12 @@ def solve(
     minor axis; see the layout note above lqr_factorize_packed).  The
     batched-matmul implementations (lqr_factorize/lqr_apply) are kept as
     the cross-check reference (solve_blocked).
+
+    warm: optional (U, z, y) from the previous MPC step, shaped like the
+    outputs ((..., h, 12), (..., h, 20), (..., h, 20)) — carries the ADMM
+    operator state across control steps (same convention as qp_admm).
+    prob.c may be per-step (..., h, 13) (predictive disturbance horizon)
+    or time-invariant (..., 13).
     """
     dtype = prob.x0.dtype
     h = prob.x_ref.shape[-2]
@@ -624,7 +617,8 @@ def solve(
 
     Ad = pm(prob.Ad, NX, NX)
     Bd = pm(prob.Bd, NX, NU)
-    c = pv(prob.c, NX)
+    per_step_c = prob.c.ndim == prob.x0.ndim + 1   # (..., h, 13) vs (..., 13)
+    c = pseq(prob.c, NX) if per_step_c else pv(prob.c, NX)[None]
     x0 = pv(prob.x0, NX)
     x_ref = pseq(prob.x_ref, NX)
     l_p = pseq(prob.l, 20)
@@ -636,9 +630,12 @@ def solve(
         Ad, Bd, c, x_ref, prob.Q.astype(dtype), prob.R.astype(dtype), G
     )
 
-    z = jnp.zeros((h, 20, B), dtype)
-    y = jnp.zeros((h, 20, B), dtype)
-    U = jnp.zeros((h, NU, B), dtype)
+    if warm is None:
+        z = jnp.zeros((h, 20, B), dtype)
+        y = jnp.zeros((h, 20, B), dtype)
+        U = jnp.zeros((h, NU, B), dtype)
+    else:
+        U, z, y = (pseq(t, r) for t, r in zip(warm, (NU, 20, 20)))
     F = prob.F.astype(dtype)
 
     def iteration(carry, _):

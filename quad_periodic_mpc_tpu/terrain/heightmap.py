@@ -26,6 +26,7 @@ import functools
 from typing import NamedTuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 
@@ -156,6 +157,132 @@ def fuse_points(
         elevation=h_new.reshape(hm.elevation.shape),
         variance=var_new.reshape(hm.variance.shape),
     )
+
+
+def wecdf_quantile(
+    values: jnp.ndarray,     # (..., m)
+    weights: jnp.ndarray,    # (..., m); zero-weight entries are ignored
+    q: float,
+) -> jnp.ndarray:
+    """Batched weighted empirical quantile with the reference's WECDF
+    semantics (WeightedEmpiricalCumulativeDistributionFunction.hpp):
+    duplicate values merge their weights (std::map), the smallest
+    observation maps to probability 0 and the largest to 1
+    (p_i = (cumw_i - w_first) / (total - w_first)), linear interpolation
+    between nodes, clamped outside [0, 1].
+
+    Shape-static: m is the (fixed) candidate count; invalid entries are
+    passed with weight 0.  Degenerate inputs (single distinct value, or
+    all weights zero) return the smallest retained value, matching the
+    reference's size-1 special case.
+    """
+    m = values.shape[-1]
+    dtype = values.dtype
+    big = jnp.asarray(3e38, dtype)
+    tiny = jnp.asarray(1e-30, dtype)
+    v = jnp.where(weights > 0, values, big)
+    order = jnp.argsort(v, axis=-1)
+    v = jnp.take_along_axis(v, order, -1)
+    w = jnp.take_along_axis(jnp.where(weights > 0, weights, 0.0), order, -1)
+    c = jnp.cumsum(w, -1)
+
+    # duplicate-run merging: every entry takes its run's LAST cumulative
+    # weight.  c is ascending, so "c at the nearest run end to the right"
+    # is the suffix MINIMUM of c over run-last positions.
+    is_last = jnp.concatenate(
+        [v[..., 1:] != v[..., :-1],
+         jnp.ones(v.shape[:-1] + (1,), bool)], -1,
+    )
+    cl = jnp.where(is_last, c, big)
+    cl = jnp.flip(jax.lax.cummin(jnp.flip(cl, -1), axis=cl.ndim - 1), -1)
+
+    w_first = cl[..., 0]                       # merged weight of v_min
+    total = c[..., -1]
+    span = total - w_first
+    p = (cl - w_first[..., None]) / jnp.maximum(span, tiny)[..., None]
+
+    qc = jnp.clip(jnp.asarray(q, dtype), 0.0, 1.0)
+    i_up = jnp.clip(jnp.sum(p < qc, -1), 0, m - 1)   # first node p >= q
+    i_low = jnp.clip(i_up - 1, 0, m - 1)
+    take = lambda a, i: jnp.take_along_axis(a, i[..., None], -1)[..., 0]
+    p_up, p_lo = take(p, i_up), take(p, i_low)
+    v_up, v_lo = take(v, i_up), take(v, i_low)
+    frac = (qc - p_lo) / jnp.maximum(p_up - p_lo, tiny)
+    out = v_lo + frac * (v_up - v_lo)
+    out = jnp.where(i_up == 0, v[..., 0], out)       # q at/below p_0 = 0
+    return jnp.where(span <= 0, v[..., 0], out)      # single distinct value
+
+
+def _gauss_cdf(x: jnp.ndarray) -> jnp.ndarray:
+    return 0.5 * (1.0 + jax.lax.erf(x / jnp.sqrt(jnp.asarray(2.0, x.dtype))))
+
+
+def fuse_area(
+    hm: HeightMap,
+    radius_cells: int = 2,
+    sigma: float = 0.05,
+    min_weight: float = 1e-6,
+    valid_var_max: float = 1e3,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Fused map layers (elevation, lower_bound, upper_bound) — the
+    rebuild of ElevationMap::fuseArea (ElevationMap.cpp:320-410): each
+    cell fuses its neighborhood with weights = product of per-axis
+    Gaussian cell-overlap probabilities (floored at min_weight), fused
+    elevation = weighted mean, and the bound layers are the WECDF
+    quantiles q=0.01 / q=0.99 of (z_i -/+ 2 sqrt(var_i)).
+
+    TPU-native reformulation: the reference sizes a per-cell ellipse from
+    the cell's horizontal variance and iterates it; we use a fixed
+    (2 radius_cells + 1)^2 stencil (static shapes) with the spread
+    `sigma` [m] taken as a parameter — pass the pose-covariance-derived
+    horizontal sigma from motion_update's inputs for equivalent behavior.
+    Cells with no valid neighbor fall back to (raw, raw -/+ 2 sqrt(var)),
+    the reference's i == 0 branch (ElevationMap.cpp:381-390).
+    """
+    r = radius_cells
+    res = hm.resolution
+    dtype = hm.elevation.dtype
+    batch = hm.elevation.shape[:-2]
+    H, W = hm.elevation.shape[-2:]
+
+    pad = [(0, 0)] * len(batch) + [(r, r), (r, r)]
+    zp = jnp.pad(hm.elevation, pad)
+    vp = jnp.pad(hm.variance, pad, constant_values=1e30)
+
+    zs, vs, ws = [], [], []
+    sig = jnp.maximum(jnp.asarray(sigma, dtype), 1e-6)
+    for dy in range(-r, r + 1):
+        for dx in range(-r, r + 1):
+            zs.append(zp[..., r + dy : r + dy + H, r + dx : r + dx + W])
+            vs.append(vp[..., r + dy : r + dy + H, r + dx : r + dx + W])
+            # per-axis Gaussian cell-overlap probability (cdf difference
+            # over the cell width), product over axes, floored
+            p1 = _gauss_cdf((abs(dx) * res + res / 2) / sig) - _gauss_cdf(
+                (abs(dx) * res - res / 2) / sig
+            )
+            p2 = _gauss_cdf((abs(dy) * res + res / 2) / sig) - _gauss_cdf(
+                (abs(dy) * res - res / 2) / sig
+            )
+            ws.append(jnp.maximum(jnp.asarray(min_weight, dtype), p1 * p2))
+    z_n = jnp.stack(zs, -1)                        # (..., H, W, m)
+    v_n = jnp.stack(vs, -1)
+    w_n = jnp.broadcast_to(jnp.stack(ws), z_n.shape).astype(dtype)
+
+    valid = v_n < valid_var_max
+    w_n = jnp.where(valid, w_n, 0.0)
+    any_valid = jnp.any(valid, -1)
+
+    wsum = jnp.maximum(jnp.sum(w_n, -1), 1e-30)
+    mean = jnp.sum(w_n * z_n, -1) / wsum
+    sd = jnp.sqrt(jnp.where(valid, v_n, 0.0))
+    lower = wecdf_quantile(z_n - 2.0 * sd, w_n, 0.01)
+    upper = wecdf_quantile(z_n + 2.0 * sd, w_n, 0.99)
+
+    raw_sd = jnp.sqrt(hm.variance)
+    mean = jnp.where(any_valid, mean, hm.elevation)
+    lower = jnp.where(any_valid, lower, hm.elevation - 2.0 * raw_sd)
+    upper = jnp.where(any_valid, upper, hm.elevation + 2.0 * raw_sd)
+    return mean, lower, upper
 
 
 def _batch_index(batch_shape, flat_idx):

@@ -195,3 +195,27 @@ def test_trot_admm30_warm_matches_pdip():
     va = np.asarray(tr_a30.x)[:, 9]
     assert abs(va[20:].mean() - 0.3) < 0.04
     assert np.abs(va[20:] - vr[20:]).max() < 0.02
+
+
+def test_trot_stagewise_long_horizon_closed_loop():
+    """formulation="stagewise" runs the full control loop at h = 32 —
+    past the condensed f32 wall (the reference hard-caps h = 19,
+    SolverMPC.cpp:113) — and still tracks the velocity command."""
+    h = 32
+    mpc_cfg = MPCConfig(horizon=h)
+    plant = S.init_plant((), body_height=0.29, dtype=DTYPE)
+    obs = S.observe(plant)
+    ctrl = M.init_state((), obs, dtype=DTYPE, horizon=h,
+                        formulation="stagewise")
+    full = lambda v: jnp.full((), v, DTYPE)
+    cmd = M.Command(vx=full(0.3), vy=full(0.0), yaw_rate=full(0.0),
+                    body_height=full(0.29))
+    gait = G.preset("trotting")
+    carry, tr = L.rollout(
+        60, plant, ctrl, cmd, gait, S.DisturbanceParams.zero((), DTYPE),
+        mpc_cfg, LOOP_CFG, EstimatorConfig(),
+        ADMMConfig(iterations=100, formulation="stagewise"),
+    )
+    x = np.asarray(tr.x)
+    assert abs(x[20:, 9].mean() - 0.3) < 0.04
+    assert abs(x[-1, 5] - 0.29) < 0.02

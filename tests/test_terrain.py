@@ -243,3 +243,73 @@ def test_motion_update_grows_variance_by_pose_cov():
     hm2 = hmap.motion_update(hm, cov, jnp.eye(3))
     np.testing.assert_allclose(np.asarray(hm2.variance), 0.01 + 4e-4,
                                rtol=1e-5)
+
+
+class TestWecdfQuantile:
+    """Mirrors the reference's gtest numeric cases
+    (elevation_mapping/test/WeightedEmpiricalCumulativeDistributionFunctionTest.cpp)."""
+
+    def _q(self, values, weights, q):
+        import numpy as np
+        v = jnp.asarray(values, jnp.float64)
+        w = jnp.asarray(weights, jnp.float64)
+        return float(hmap.wecdf_quantile(v, w, q))
+
+    def test_trivial_two_points(self):
+        v, w = [0.0, 1.0], [1.0, 1.0]
+        for q, want in [(-0.1, 0.0), (0.0, 0.0), (0.25, 0.25), (0.5, 0.5),
+                        (2/3, 2/3), (0.95, 0.95), (1.0, 1.0), (1.1, 1.0)]:
+            assert abs(self._q(v, w, q) - want) < 1e-12
+
+    def test_linear_equally_spaced(self):
+        v = [0.0, 10/3, 20/3, 10.0]
+        w = [1.0] * 4
+        for q, want in [(0.0, 0.0), (0.25, 2.5), (0.5, 5.0),
+                        (2/3, 20/3), (0.95, 9.5), (1.1, 10.0)]:
+            assert abs(self._q(v, w, q) - want) < 1e-12
+
+    def test_single_value_duplicates(self):
+        v, w = [3.0, 3.0, 3.0], [1.0] * 3
+        for q in [0.0, 0.25, 0.5, 1.0, 2.0]:
+            assert abs(self._q(v, w, q) - 3.0) < 1e-12
+
+    def test_synthetic_duplicate_merge(self):
+        # 10x value 1.0 + 1x value 2.0: merged runs give 1.05 / 1.95 —
+        # unmerged per-entry nodes would give 1.0 / 1.5 (wrong)
+        v = [1.0] * 10 + [2.0]
+        w = [1.0] * 11
+        assert abs(self._q(v, w, 0.05) - 1.05) < 1e-12
+        assert abs(self._q(v, w, 0.95) - 1.95) < 1e-12
+
+    def test_zero_weight_entries_ignored(self):
+        v = [5.0, 0.0, 1.0, 9.0]
+        w = [0.0, 1.0, 1.0, 0.0]
+        assert abs(self._q(v, w, 0.5) - 0.5) < 1e-12
+
+    def test_batched(self):
+        v = jnp.asarray([[0.0, 1.0, 0.5], [2.0, 4.0, 3.0]], jnp.float64)
+        w = jnp.ones((2, 3), jnp.float64)
+        out = np.asarray(hmap.wecdf_quantile(v, w, 0.5))
+        assert abs(out[0] - 0.5) < 1e-12 and abs(out[1] - 3.0) < 1e-12
+
+
+def test_fuse_area_bounds():
+    """fuse_area: flat seen region -> fused mean == height, bounds bracket
+    it by ~2 sigma; unseen cells fall back to the raw-cell branch
+    (ElevationMap.cpp:381-390)."""
+    hm = hmap.create(size=16, resolution=0.03, dtype=jnp.float64,
+                     init_variance=1e4)
+    # observe a flat 0.1 m plateau in a 8x8 patch with variance 1e-4
+    elev = hm.elevation.at[4:12, 4:12].set(0.1)
+    var = hm.variance.at[4:12, 4:12].set(1e-4)
+    hm = hm._replace(elevation=elev, variance=var)
+    mean, lower, upper = hmap.fuse_area(hm, radius_cells=2, sigma=0.05)
+    mean, lower, upper = map(np.asarray, (mean, lower, upper))
+    # interior of the plateau
+    assert np.allclose(mean[6:10, 6:10], 0.1, atol=1e-6)
+    assert np.allclose(lower[6:10, 6:10], 0.1 - 2e-2, atol=1e-3)
+    assert np.allclose(upper[6:10, 6:10], 0.1 + 2e-2, atol=1e-3)
+    # unseen corner: raw fallback
+    assert abs(mean[0, 0] - 0.0) < 1e-9
+    assert abs(lower[0, 0] - (0.0 - 2 * 100.0)) < 1e-6
+    assert abs(upper[0, 0] - (0.0 + 2 * 100.0)) < 1e-6
