@@ -68,6 +68,57 @@ class PerfectModel:
         return jnp.zeros(points.shape[:-1] + (3,), points.dtype)
 
 
+@dataclasses.dataclass(frozen=True)
+class StereoModel:
+    """Disparity-quadratic stereo depth noise
+    (StereoSensorProcessor.cpp:40-97): with disparity d_p = f/z,
+
+        var_n = (f/d_p^2)^2 * ((p5 d_p + p2) sqrt((p3 d_p + p4 - j)^2
+                + (v_c - i)^2) + p1),
+        var_l = (lateral_factor * |p|)^2.
+
+    The reference indexes the organized cloud for the pixel (i, j) of
+    each point (StereoSensorProcessor.cpp:115-121); pass `pixel_ij`
+    (..., n, 2) for that, else the principal point (p4, v_center) is
+    used (zero pixel-offset term).  Points outside
+    [cutoff_min_depth, cutoff_max_depth] are the reference's
+    PassThrough-filtered points (:100-111) — mask via `depth_mask`.
+    """
+
+    p_1: float = 0.0
+    p_2: float = 0.0
+    p_3: float = 0.0
+    p_4: float = 0.0
+    p_5: float = 0.0
+    lateral_factor: float = 0.0
+    depth_to_disparity_factor: float = 1.0
+    v_center: float = 240.0
+    cutoff_min_depth: float = 0.0
+    cutoff_max_depth: float = jnp.inf
+    pixel_ij: jnp.ndarray | None = None
+
+    def sensor_variance(self, points: jnp.ndarray) -> jnp.ndarray:
+        f = self.depth_to_disparity_factor
+        z = points[..., 2]
+        disparity = f / z
+        if self.pixel_ij is not None:
+            di = self.v_center - self.pixel_ij[..., 0]
+            dj = self.p_3 * disparity + self.p_4 - self.pixel_ij[..., 1]
+        else:
+            di = jnp.zeros_like(z)
+            dj = jnp.zeros_like(z)  # j = p3*d_p + p4 (principal column)
+        var_n = (f / disparity**2) ** 2 * (
+            (self.p_5 * disparity + self.p_2) * jnp.sqrt(dj**2 + di**2)
+            + self.p_1
+        )
+        var_l = (self.lateral_factor * jnp.linalg.norm(points, axis=-1)) ** 2
+        return jnp.stack([var_l, var_l, var_n], axis=-1)
+
+    def depth_mask(self, points: jnp.ndarray) -> jnp.ndarray:
+        z = points[..., 2]
+        return (z >= self.cutoff_min_depth) & (z <= self.cutoff_max_depth)
+
+
 def process_points(
     points_sensor: jnp.ndarray,       # (..., n, 3)
     model,
