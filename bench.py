@@ -6,24 +6,76 @@ build, disturbance residual + periodic estimator update, SRB
 linearization, closed-form discretization + condensation, batched QP
 solve, force extraction) — the TPU rebuild of one solve_mpc call
 (SolverMPC.cpp:566) plus its assembly in solveDenseMPC
-(ConvexMPCLocomotion.cpp:612).
+(ConvexMPCLocomotion.cpp:612).  The timed region ALSO steps the analytic
+SRB plant (with the reference's sinusoidal disturbance,
+raisim_unitree_ros_driver.cpp:606) and advances the gait counter, so the
+observation drifts every step and the carried ADMM warm start does real
+closed-loop work — no frozen-input dispatch-rate numbers.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "solves/s", "vs_baseline": R}
+  {"metric": ..., "value": N, "unit": "solves/s", "vs_baseline": R,
+   "p99_ms": ..., "tflops": ..., "mfu": ..., "batch": ...}
 
 vs_baseline is value / 1e4 — the driver target (BASELINE.md: >= 1e4
 horizon-10 solves/s/chip; the reference C++ controller performs 38.5
 solves/s on its CPU budget).  Extra detail goes to stderr.
+
+Robustness contract (the driver runs this under `timeout` from a cold
+process): a watchdog emits the best-so-far JSON line and exits 0 when the
+QPM_BENCH_BUDGET_S budget (default 420 s) expires, measurements run
+smallest-config-first so a partial run still yields a number, and
+compiled programs persist in the repo-committed .jaxcache/ directory so a
+driver run after a pre-warmed build compiles nothing.
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
+import threading
 import time
 
 import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+BUDGET_S = float(os.environ.get("QPM_BENCH_BUDGET_S", "420"))
+
+_emit_lock = threading.Lock()
+_emitted = False
+_result = {
+    "metric": "h10_a1_trot_mpc_solves_per_s_per_chip",
+    "value": 0.0,
+    "unit": "solves/s",
+    "vs_baseline": 0.0,
+}
+
+
+def _update(**kw) -> None:
+    with _emit_lock:
+        _result.update(kw)
+
+
+def _emit() -> None:
+    """Print the result JSON exactly once (watchdog or normal path)."""
+    global _emitted
+    with _emit_lock:
+        if _emitted:
+            return
+        _emitted = True
+        print(json.dumps(_result), flush=True)
+
+
+def _watchdog() -> None:
+    print(
+        f"bench watchdog: budget {BUDGET_S:.0f}s expired — emitting "
+        "best-so-far result",
+        file=sys.stderr,
+        flush=True,
+    )
+    _emit()
+    os._exit(0)
 
 
 def main() -> None:
@@ -39,28 +91,32 @@ def main() -> None:
     # (tests/test_closed_loop.py::test_trot_admm30_warm_matches_pdip)
     ap.add_argument("--admm-iters", type=int, default=30)
     # pallas = fused bf16-K^{-1} iteration kernel, the production TPU path
-    # (1.9x the XLA GEMV loop; docs/PERFORMANCE.md)
     ap.add_argument("--backend", choices=["xla", "pallas"], default="pallas",
                     help="ADMM iteration-loop backend")
-    ap.add_argument("--latency", action="store_true", help="also measure b=1 latency")
-    # Single-dispatch latency through the axon tunnel is RTT-dominated
-    # (tens of ms regardless of compute); chaining K steps inside one
-    # lax.scan dispatch and dividing isolates the on-device per-solve
-    # latency — the number the 2 ms reference budget (BASELINE.md)
-    # actually constrains.
-    ap.add_argument("--latency-device", action="store_true",
-                    help="amortized on-device b=1 per-step latency (scan chain)")
+    ap.add_argument("--no-p99", action="store_true",
+                    help="skip the b=1 on-device p99 latency phase")
+    ap.add_argument("--latency", action="store_true",
+                    help="also measure b=1 host-round-trip latency")
     # SURVEY.md §5 tracing analog (the reference's SHOW_MPC_SOLVE_TIME /
     # Timer stopwatches): full profiler timeline of one measured step.
     ap.add_argument("--profile", default="", metavar="DIR",
                     help="write a jax.profiler trace of one step to DIR")
     args = ap.parse_args()
 
+    _update(metric=f"h{args.horizon}_a1_trot_mpc_solves_per_s_per_chip")
+
+    timer = threading.Timer(BUDGET_S, _watchdog)
+    timer.daemon = True
+    timer.start()
+    t_start = time.perf_counter()
+
     import jax
 
-    # persistent compile cache: remote (axon) compiles cost minutes; cached
-    # re-runs cost seconds
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+    # Persistent compile cache, committed to the repo: remote (axon)
+    # compiles cost minutes, cached re-runs cost seconds, and /tmp does
+    # not survive to the driver's process.
+    cache_dir = os.environ.get("QPM_CACHE_DIR", os.path.join(REPO, ".jaxcache"))
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     import jax.numpy as jnp
@@ -81,6 +137,7 @@ def main() -> None:
         if args.solver == "admm"
         else PDIPConfig(iterations=25)
     )
+    dt_mpc = loop_cfg.dt * loop_cfg.iterations_between_mpc
 
     def make_inputs(batch: int):
         plant = S.init_plant((batch,), body_height=0.29, dtype=dtype)
@@ -91,19 +148,33 @@ def main() -> None:
             iteration=(jnp.arange(batch, dtype=jnp.int32) * 7) % 208
         )
         cmd = M.Command(
-            vx=jnp.full((batch,), 0.3, dtype),
+            vx=jnp.zeros((batch,), dtype),
             vy=jnp.zeros((batch,), dtype),
             yaw_rate=jnp.zeros((batch,), dtype),
             body_height=jnp.full((batch,), 0.29, dtype),
         )
         gait = G.preset("trotting")
-        return ctrl, obs, cmd, gait, plant.t
+        dist = S.DisturbanceParams.reference((batch,), dtype=dtype)
+        return ctrl, plant, cmd, gait, dist
 
-    def step(ctrl, obs, cmd, gait, t):
+    def step(ctrl, plant, cmd, gait, dist):
+        """One MPC period: solve, then hold the first-step forces over the
+        period on the plant (the reference's zero-order hold between 38.5 Hz
+        solves) so the next observation has drifted."""
+        obs = S.observe(plant)
         ctrl, forces = M.mpc_step(
-            ctrl, obs, cmd, gait, t, mpc_cfg, loop_cfg, est_cfg, solver
+            ctrl, obs, cmd, gait, plant.t, mpc_cfg, loop_cfg, est_cfg, solver
         )
-        return ctrl, forces
+        seg = G.segment_index(gait, ctrl.iteration, loop_cfg.iterations_between_mpc)
+        stance = G.mpc_table(gait, seg, 1)[..., 0, :].astype(dtype)
+        plant = S.step(
+            plant, forces[..., 0, :, :], plant.p_feet, stance, dist,
+            mpc_cfg, dt_mpc,
+        )
+        ctrl = ctrl._replace(
+            iteration=ctrl.iteration + loop_cfg.iterations_between_mpc
+        )
+        return ctrl, plant, forces
 
     # NOTE: no donate_argnums and a host-transferred checksum as the timing
     # fence — on the axon-tunneled backend, donation corrupts execution and
@@ -112,13 +183,13 @@ def main() -> None:
     step_jit = jax.jit(step)
 
     def throughput(batch: int) -> float:
-        ctrl, obs, cmd, gait, t = make_inputs(batch)
-        ctrl, f = step_jit(ctrl, obs, cmd, gait, t)
-        float(jnp.sum(f))                     # hard sync
+        ctrl, plant, cmd, gait, dist = make_inputs(batch)
+        ctrl, plant, f = step_jit(ctrl, plant, cmd, gait, dist)
+        float(jnp.sum(f))                     # hard sync (compile)
         n = args.iters
         t0 = time.perf_counter()
         for _ in range(n):
-            ctrl, f = step_jit(ctrl, obs, cmd, gait, t)
+            ctrl, plant, f = step_jit(ctrl, plant, cmd, gait, dist)
         checksum = float(jnp.sum(f))          # chained: forces all n steps
         dt = time.perf_counter() - t0
         if not np.isfinite(checksum):
@@ -128,9 +199,9 @@ def main() -> None:
     if args.batch:
         batches = [args.batch]
     else:
-        # one shape by default: every distinct batch costs a multi-minute
-        # remote compile on this setup (cached thereafter)
-        batches = [2048]
+        # smallest first: a partial run inside the watchdog budget still
+        # records a real number before the headline batch compiles
+        batches = [256, 2048]
 
     best = 0.0
     best_b = 0
@@ -138,76 +209,110 @@ def main() -> None:
         try:
             sps = throughput(b)
         except Exception as e:  # OOM etc — report what we can
-            print(f"batch {b}: failed ({type(e).__name__})", file=sys.stderr)
+            print(f"batch {b}: failed ({type(e).__name__}: {e})",
+                  file=sys.stderr, flush=True)
             continue
-        print(f"batch {b}: {sps:,.0f} solves/s", file=sys.stderr)
+        print(f"batch {b}: {sps:,.0f} solves/s "
+              f"[t+{time.perf_counter() - t_start:.0f}s]",
+              file=sys.stderr, flush=True)
         if sps > best:
             best, best_b = sps, b
+            _update(value=round(best, 1), vs_baseline=round(best / 1e4, 4),
+                    batch=b)
+
+    # ---- achieved FLOP/s vs peak (roofline position) ----
+    if best_b:
+        try:
+            ctrl, plant, cmd, gait, dist = make_inputs(best_b)
+            cost = (
+                step_jit.lower(ctrl, plant, cmd, gait, dist)
+                .compile()
+                .cost_analysis()
+            )
+            if isinstance(cost, (list, tuple)):
+                cost = cost[0]
+            flops_per_dispatch = float(cost.get("flops", 0.0))
+            tflops = flops_per_dispatch * (best / best_b) / 1e12
+            # TPU v5e peak: 197 TFLOP/s bf16 / ~98.5 f32.  The MPC step is
+            # small-matrix dominated, so mfu is reported for honesty, not
+            # as the optimization target (HBM + VMEM latency bound).
+            mfu = tflops / 197.0
+            _update(tflops=round(tflops, 3), mfu=round(mfu, 5))
+            print(f"cost: {flops_per_dispatch / best_b / 1e6:.3f} MFLOP/solve, "
+                  f"{tflops:.2f} TFLOP/s achieved, mfu {mfu:.4f}",
+                  file=sys.stderr, flush=True)
+        except Exception as e:
+            print(f"cost_analysis unavailable: {type(e).__name__}: {e}",
+                  file=sys.stderr, flush=True)
+
+    # ---- on-device b=1 p99 latency (BASELINE.md: p99 < 2 ms) ----
+    # Single-dispatch latency through the axon tunnel is RTT-dominated
+    # (tens of ms regardless of compute); chaining K steps inside one
+    # lax.scan dispatch and dividing isolates the on-device per-solve
+    # latency the 2 ms reference budget actually constrains.  p99 is taken
+    # over per-step times of many dispatches.
+    if not args.no_p99:
+        try:
+            K = 64
+            ctrl, plant, cmd, gait, dist = make_inputs(1)
+
+            def chain(ctrl, plant, cmd, gait, dist):
+                def body(c, _):
+                    ctrl, plant = c
+                    ctrl, plant, f = step(ctrl, plant, cmd, gait, dist)
+                    return (ctrl, plant), jnp.sum(f)
+                c, s = jax.lax.scan(body, (ctrl, plant), None, length=K)
+                return jnp.sum(s)
+
+            chain_jit = jax.jit(chain)
+            float(chain_jit(ctrl, plant, cmd, gait, dist))      # compile
+            times = []
+            for _ in range(30):
+                t0 = time.perf_counter()
+                float(chain_jit(ctrl, plant, cmd, gait, dist))  # host fence
+                times.append((time.perf_counter() - t0) / K)
+            per_step = np.asarray(times) * 1e3
+            p50 = float(np.percentile(per_step, 50))
+            p99 = float(np.percentile(per_step, 99))
+            _update(p99_ms=round(p99, 4))
+            print(f"b=1 on-device per-step latency p50 {p50:.3f} ms, "
+                  f"p99 {p99:.3f} ms (chain of {K}, 30 dispatches; "
+                  "budget 2 ms)", file=sys.stderr, flush=True)
+        except Exception as e:
+            print(f"p99 phase failed: {type(e).__name__}: {e}",
+                  file=sys.stderr, flush=True)
 
     if args.profile:
-        ctrl, obs, cmd, gait, t = make_inputs(best_b or 2048)
-        ctrl, f = step_jit(ctrl, obs, cmd, gait, t)
+        ctrl, plant, cmd, gait, dist = make_inputs(best_b or 2048)
+        ctrl, plant, f = step_jit(ctrl, plant, cmd, gait, dist)
         float(jnp.sum(f))                     # compile + settle
         with jax.profiler.trace(args.profile):
-            ctrl, f = step_jit(ctrl, obs, cmd, gait, t)
+            ctrl, plant, f = step_jit(ctrl, plant, cmd, gait, dist)
             float(jnp.sum(f))
         print(f"profiler trace written to {args.profile}", file=sys.stderr)
 
-    if args.latency_device:
-        K = 256
-        ctrl, obs, cmd, gait, t = make_inputs(1)
-
-        def chain(ctrl, obs, cmd, gait, t):
-            def body(c, _):
-                c, f = step(c, obs, cmd, gait, t)
-                return c, jnp.sum(f)
-            c, s = jax.lax.scan(body, ctrl, None, length=K)
-            return jnp.sum(s)
-
-        chain_jit = jax.jit(chain)
-        float(chain_jit(ctrl, obs, cmd, gait, t))      # compile
-        times = []
-        for _ in range(10):
-            t0 = time.perf_counter()
-            float(chain_jit(ctrl, obs, cmd, gait, t))  # host-sync fence
-            times.append(time.perf_counter() - t0)
-        per_step = (min(times) / K) * 1e3
-        print(
-            f"b=1 on-device per-step latency {per_step:.3f} ms "
-            f"(chain of {K}; budget 2 ms; min-of-10 dispatches, "
-            f"RTT amortized)",
-            file=sys.stderr,
-        )
-
     if args.latency:
-        ctrl, obs, cmd, gait, t = make_inputs(1)
+        ctrl, plant, cmd, gait, dist = make_inputs(1)
         lat_step = jax.jit(step)
-        ctrl2, f = lat_step(ctrl, obs, cmd, gait, t)
+        c2, p2, f = lat_step(ctrl, plant, cmd, gait, dist)
         float(jnp.sum(f))
         lats = []
         for _ in range(100):
             t0 = time.perf_counter()
-            _, f = lat_step(ctrl, obs, cmd, gait, t)
+            _, _, f = lat_step(ctrl, plant, cmd, gait, dist)
             float(jnp.sum(f))                 # hard sync incl. transfer
             lats.append(time.perf_counter() - t0)
         lats = np.asarray(lats) * 1e3
         print(
-            f"b=1 latency p50 {np.percentile(lats, 50):.3f} ms, "
-            f"p99 {np.percentile(lats, 99):.3f} ms (budget 2 ms)",
-            file=sys.stderr,
+            f"b=1 host-round-trip latency p50 {np.percentile(lats, 50):.3f} ms, "
+            f"p99 {np.percentile(lats, 99):.3f} ms (tunnel RTT included)",
+            file=sys.stderr, flush=True,
         )
 
-    print(
-        json.dumps(
-            {
-                "metric": f"h{args.horizon}_a1_trot_mpc_solves_per_s_per_chip",
-                "value": round(best, 1),
-                "unit": "solves/s",
-                "vs_baseline": round(best / 1e4, 4),
-            }
-        )
-    )
-    print(f"best batch: {best_b}", file=sys.stderr)
+    timer.cancel()
+    _emit()
+    print(f"best batch: {best_b} [total {time.perf_counter() - t_start:.0f}s]",
+          file=sys.stderr)
 
 
 if __name__ == "__main__":
