@@ -88,6 +88,7 @@ def fuse_points(
     meas_variance: jnp.ndarray, # (..., n)
     mahalanobis_threshold: float = 0.0,
     multi_height_noise: float = 9e-7,
+    valid_mask: jnp.ndarray | None = None,   # (..., n) bool
 ) -> HeightMap:
     """Precision-weighted Kalman fusion of point measurements into cells
     (the scalar-KF update of ElevationMap::add, batched + scattered):
@@ -114,11 +115,19 @@ def fuse_points(
 
     z = points[..., 2]
     w = 1.0 / meas_variance
+    if valid_mask is not None:
+        # excluded points (e.g. outside a sensor's depth cutoff — the
+        # reference PassThrough-filters them before computeVariances,
+        # StereoSensorProcessor.cpp:99-111) contribute no fusion weight
+        # and cannot trigger multi-height replacement
+        w = jnp.where(valid_mask, w, 0.0)
     if mahalanobis_threshold > 0.0:
         h_at = jnp.take_along_axis(h_old, flat, axis=-1)
         var_at = jnp.take_along_axis(var_old, flat, axis=-1)
         maha = jnp.abs(z - h_at) / jnp.sqrt(var_at)
         outlier = maha > mahalanobis_threshold
+        if valid_mask is not None:
+            outlier = outlier & valid_mask
         higher = outlier & (z > h_at)
         lower = outlier & ~higher
         w_fuse = jnp.where(outlier, 0.0, w)

@@ -87,16 +87,29 @@ class InputSource:
         rotation_covariance: jnp.ndarray | None = None,
         min_variance: float = 1e-9,
         mahalanobis_threshold: float = 0.0,
+        pixel_ij: jnp.ndarray | None = None,
     ) -> hm_lib.HeightMap:
         """Sensor-frame cloud → map-frame fusion (the reference's
-        pointCloudCallback tail: computeVariances + ElevationMap::add)."""
+        pointCloudCallback tail: PassThrough depth cutoff +
+        computeVariances + ElevationMap::add).  Points outside the
+        sensor's depth cutoff (StereoSensorProcessor.cpp:99-111) are
+        excluded from fusion entirely."""
         p_map, var = sensor_lib.process_points(
             points_sensor, self.processor, R_map_base, R_base_sensor,
             t_base_sensor, t_map_base, rotation_covariance,
+            pixel_ij=pixel_ij,
         )
         var = jnp.maximum(var, min_variance)
+        mask = None
+        depth_mask = getattr(self.processor, "depth_mask", None)
+        if depth_mask is not None:
+            mask = depth_mask(points_sensor)
+            # masked-out points also get +inf variance so any consumer of
+            # (p_map, var) without the mask still sees them as weightless
+            var = jnp.where(mask, var, jnp.inf)
         return hm_lib.fuse_points(
-            hm, p_map, var, mahalanobis_threshold=mahalanobis_threshold
+            hm, p_map, var, mahalanobis_threshold=mahalanobis_threshold,
+            valid_mask=mask,
         )
 
 
@@ -107,6 +120,7 @@ class InputSourceManager:
     def __init__(self) -> None:
         self.sources: list[InputSource] = []
         self.errors: list[str] = []
+        self.routing: list[tuple[InputSource, Callable]] = []
 
     # -- configuration ------------------------------------------------
     def configure(self, config: Any) -> bool:
@@ -128,7 +142,9 @@ class InputSourceManager:
             return False
 
         ok = True
-        seen_topics: set[str] = set()
+        # repeated configure() calls extend the source list; duplicate
+        # detection must see topics from earlier calls too
+        seen_topics: set[str] = {s.topic for s in self.sources}
         for name, params in config.items():
             source = self._configure_one(str(name), params)
             if source is None:
@@ -199,7 +215,9 @@ class InputSourceManager:
         """Type → handler registration (InputSourceManager::
         registerCallbacks, used by InputSourcesTest UnknownType): fails
         if any configured source's type has no handler; returns the
-        (source, handler) routing otherwise via `self.routing`."""
+        (source, handler) routing otherwise via `self.routing`.  A failed
+        call clears any previous routing (no stale state)."""
+        self.routing = []
         routing = []
         for s in self.sources:
             h = handlers.get(s.type)

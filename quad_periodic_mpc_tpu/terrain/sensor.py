@@ -79,8 +79,10 @@ class StereoModel:
 
     The reference indexes the organized cloud for the pixel (i, j) of
     each point (StereoSensorProcessor.cpp:115-121); pass `pixel_ij`
-    (..., n, 2) for that, else the principal point (p4, v_center) is
-    used (zero pixel-offset term).  Points outside
+    (..., n, 2) per cloud to `sensor_variance` for that.  Without
+    pixels, the fallback assumes each point sits at row v_center and at
+    the disparity-shifted principal column j = p3*d_p + p4, zeroing
+    both offset terms.  Points outside
     [cutoff_min_depth, cutoff_max_depth] are the reference's
     PassThrough-filtered points (:100-111) — mask via `depth_mask`.
     """
@@ -95,15 +97,16 @@ class StereoModel:
     v_center: float = 240.0
     cutoff_min_depth: float = 0.0
     cutoff_max_depth: float = jnp.inf
-    pixel_ij: jnp.ndarray | None = None
 
-    def sensor_variance(self, points: jnp.ndarray) -> jnp.ndarray:
+    def sensor_variance(
+        self, points: jnp.ndarray, pixel_ij: jnp.ndarray | None = None
+    ) -> jnp.ndarray:
         f = self.depth_to_disparity_factor
         z = points[..., 2]
         disparity = f / z
-        if self.pixel_ij is not None:
-            di = self.v_center - self.pixel_ij[..., 0]
-            dj = self.p_3 * disparity + self.p_4 - self.pixel_ij[..., 1]
+        if pixel_ij is not None:
+            di = self.v_center - pixel_ij[..., 0]
+            dj = self.p_3 * disparity + self.p_4 - pixel_ij[..., 1]
         else:
             di = jnp.zeros_like(z)
             dj = jnp.zeros_like(z)  # j = p3*d_p + p4 (principal column)
@@ -127,8 +130,13 @@ def process_points(
     t_base_sensor: jnp.ndarray,       # (3,) sensor origin in base frame
     t_map_base: jnp.ndarray,          # (..., 3) base origin in map frame
     rotation_covariance: jnp.ndarray | None = None,   # (..., 3, 3)
+    pixel_ij: jnp.ndarray | None = None,              # (..., n, 2)
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Returns (points_map (..., n, 3), height_variances (..., n))."""
+    """Returns (points_map (..., n, 3), height_variances (..., n)).
+
+    `pixel_ij` is per-cloud data forwarded to models that use the
+    organized-cloud pixel (StereoModel); others ignore it.
+    """
     dtype = points_sensor.dtype
     p_base = jnp.einsum(
         "ij,...nj->...ni", R_base_sensor, points_sensor
@@ -140,7 +148,10 @@ def process_points(
     # J_s = P C_MB C_BS (row vector); P = e_z
     C = R_map_base @ R_base_sensor
     J_s = C[..., 2, :]                                     # (..., 3)
-    sv = model.sensor_variance(points_sensor)              # (..., n, 3)
+    if pixel_ij is not None:
+        sv = model.sensor_variance(points_sensor, pixel_ij=pixel_ij)
+    else:
+        sv = model.sensor_variance(points_sensor)          # (..., n, 3)
     var_sensor = jnp.einsum("...j,...nj,...j->...n", J_s, sv, J_s)
 
     if rotation_covariance is not None:

@@ -134,15 +134,15 @@ def test_stereo_variance_matches_scalar_reference():
         p_1=0.1, p_2=0.002, p_3=0.5, p_4=320.0, p_5=0.001,
         lateral_factor=0.01, depth_to_disparity_factor=100.0,
         v_center=240.0,
-        pixel_ij=jnp.array([[200.0, 300.0], [240.0, 320.0]]),
     )
+    pixel_ij = jnp.array([[200.0, 300.0], [240.0, 320.0]])
     pts = jnp.array([[0.3, -0.1, 1.5], [0.0, 0.2, 2.5]])
-    var = np.asarray(m.sensor_variance(pts))
+    var = np.asarray(m.sensor_variance(pts, pixel_ij=pixel_ij))
     f = 100.0
     for k in range(2):
         x, y, z = np.asarray(pts)[k]
         dp = f / z
-        i, j = np.asarray(m.pixel_ij)[k]
+        i, j = np.asarray(pixel_ij)[k]
         vn = (f / dp**2) ** 2 * (
             (0.001 * dp + 0.002)
             * np.sqrt((0.5 * dp + 320.0 - j) ** 2 + (240.0 - i) ** 2)
@@ -179,3 +179,58 @@ def test_multi_source_fusion_updates_map():
     assert fused_cells.sum() >= 8
     heights = np.asarray(hm.elevation)[fused_cells]
     np.testing.assert_allclose(heights, 0.1, atol=1e-3)
+
+
+def test_depth_cutoff_excludes_points_from_fusion():
+    """ADVICE r1: the stereo cutoff (PassThrough on z,
+    StereoSensorProcessor.cpp:99-111) must drop out-of-range points before
+    fusion — a far bogus point may not corrupt the map."""
+    ok, mgr = _configure({
+        "cam": {
+            "type": "pointcloud", "topic": "/cam/points", "queue_size": 1,
+            "publish_on_update": True,
+            "sensor_processor": {
+                "type": "stereo", "p_1": 0.01, "lateral_factor": 0.01,
+                "depth_to_disparity_factor": 100.0,
+                "cutoff_min_depth": 0.5, "cutoff_max_depth": 2.0,
+            },
+        },
+    })
+    assert ok
+    hm = hm_lib.create(size=20, resolution=0.1)
+    eye = jnp.eye(3)
+    zero = jnp.zeros(3)
+    # two points land in the SAME cell: a valid one at z(depth)=1.0 and a
+    # cutoff-violating one at depth 5.0 whose (wrong) height is 5.0
+    pts = jnp.array([[0.05, 0.05, 1.0], [0.049, 0.049, 5.0]])
+    hm2 = mgr.sources[0].process(hm, pts, eye, eye, zero, zero)
+    idx = hm_lib.world_to_index(hm, pts[:1, :2])
+    i, j = int(idx[0, 0]), int(idx[0, 1])
+    assert abs(float(hm2.elevation[i, j]) - 1.0) < 1e-3
+    # and with mahalanobis handling on a pre-fused map, the cutoff point
+    # cannot trigger multi-height replacement either
+    hm3 = mgr.sources[0].process(
+        hm2, pts, eye, eye, zero, zero, mahalanobis_threshold=2.0
+    )
+    assert abs(float(hm3.elevation[i, j]) - 1.0) < 1e-3
+
+
+def test_configure_twice_detects_cross_call_duplicates():
+    """ADVICE r1: duplicate topics across repeated configure() calls are
+    rejected (seen set seeded from already-configured sources)."""
+    mgr = InputSourceManager()
+    assert mgr.configure({"a": _valid("/points")})
+    assert not mgr.configure({"b": _valid("/points")})
+    assert mgr.number_of_sources() == 1
+
+
+def test_failed_registration_clears_previous_routing():
+    """ADVICE r1: register_callbacks resets routing; a failed call leaves
+    no stale routing behind and routing is always defined."""
+    mgr = InputSourceManager()
+    assert mgr.routing == []
+    mgr.configure({"a": _valid("/points")})
+    assert mgr.register_callbacks({"pointcloud": lambda *a: None})
+    assert len(mgr.routing) == 1
+    assert not mgr.register_callbacks({"other": lambda *a: None})
+    assert mgr.routing == []
