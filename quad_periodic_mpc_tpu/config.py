@@ -13,7 +13,7 @@ that become traced constants.
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import Any, NamedTuple, Tuple
 
 
 @dataclasses.dataclass(frozen=True)
@@ -225,3 +225,65 @@ class LoopConfig:
     @property
     def dt_mpc(self) -> float:
         return self.dt * self.iterations_between_mpc
+
+
+class TunableParams(NamedTuple):
+    """Live-tunable runtime parameters — the dynamic_reconfigure tier.
+
+    The reference retunes these at runtime through its reconfigure server
+    (config/ros_dynamic_params.cfg delivered at
+    be2r_cmpc_unitree.cpp:733-739: MPC weights/alpha, body/swing height,
+    Kp/Kd tabs, x-drag).  Here they are TRACED pytree leaves passed as a
+    regular jit argument: changing any value between two calls of one
+    jitted program reuses the compiled executable — no recompile — while
+    everything shape-affecting (horizon, iteration counts, modes) stays
+    in the frozen static configs.
+
+    Body height and leg Kp/Kd are already traced runtime inputs elsewhere
+    (Command.body_height, LegCommand.kp/kd_*): this pytree covers the
+    remaining tunables that were compile-time constants.
+
+    All leaves are arrays (scalars or (12,)); they may carry leading batch
+    dims for PER-INSTANCE tuning (a weight-sweep axis).
+    """
+
+    weights: Any        # (..., 12) MPC state-cost diagonal Q
+    alpha: Any          # (...,) force regularization
+    mu: Any             # (...,) friction coefficient
+    f_max: Any          # (...,) per-foot max normal force
+    x_drag_gain: Any    # (...,) cmpc_x_drag
+    swing_height: Any   # (...,) Swing_traj_height
+    bonus_swing: Any    # (...,) cmpc_bonus_swing
+    p_rel_max: Any      # (...,) foothold clamp
+    ema_smooth: Any     # (...,) estimator smoothing EMA
+    ema_static: Any     # (...,) static-estimator EMA
+
+    @staticmethod
+    def from_config(
+        mpc: MPCConfig = None,
+        loop: LoopConfig = None,
+        est: "EstimatorConfig" = None,
+        swing: SwingConfig = None,
+        dtype=None,
+    ) -> "TunableParams":
+        """Defaults pulled from the static configs."""
+        import jax.numpy as jnp
+
+        mpc = mpc or MPCConfig()
+        loop = loop or LoopConfig()
+        est = est or EstimatorConfig()
+        swing = swing or SwingConfig()
+        dtype = dtype or jnp.float32
+        s = lambda v: jnp.asarray(v, dtype)
+        return TunableParams(
+            weights=s(mpc.weights),
+            alpha=s(mpc.alpha),
+            mu=s(mpc.mu),
+            f_max=s(mpc.f_max),
+            x_drag_gain=s(mpc.x_drag_gain),
+            swing_height=s(loop.swing_height),
+            bonus_swing=s(swing.bonus_swing),
+            p_rel_max=s(swing.p_rel_max),
+            ema_smooth=s(est.ema_smooth),
+            ema_static=s(est.ema_static),
+        )

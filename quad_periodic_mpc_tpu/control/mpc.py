@@ -35,6 +35,7 @@ from quad_periodic_mpc_tpu.config import (
     MPCConfig,
     PDIPConfig,
     SwingConfig,
+    TunableParams,
 )
 from quad_periodic_mpc_tpu.models import srb
 from quad_periodic_mpc_tpu.models.a1 import RobotModel
@@ -230,11 +231,16 @@ def mpc_step(
     est_cfg: EstimatorConfig,
     solver: ADMMConfig | PDIPConfig,
     ground_truth_z: jnp.ndarray | None = None,
+    tunable: TunableParams | None = None,
 ) -> tuple[ControllerState, jnp.ndarray]:
     """One MPC solve (solveDenseMPC, ConvexMPCLocomotion.cpp:612-870).
 
     Returns (state', forces (..., h, 4, 3)) — full horizon solution;
     state'.f_ff / .fr_des carry the first-step forces.
+
+    tunable: live-tunable runtime parameters (the dynamic_reconfigure
+    tier) — traced, so retuning weights/alpha/mu/f_max/x-drag/EMAs
+    between calls reuses the compiled program.
     """
     dtype = obs.p.dtype
     R = quat_to_rotmat(obs.quat)
@@ -262,10 +268,13 @@ def mpc_step(
     # x-drag integral (ConvexMPCLocomotion.cpp:813-818, gain = cmpc_x_drag)
     pz_err = p_used[..., 2] - cmd.body_height
     vx = obs.v[..., 0]
+    x_drag_gain = (
+        jnp.asarray(mpc.x_drag_gain, dtype) if tunable is None
+        else tunable.x_drag_gain
+    )
     x_comp = state.x_comp_integral + jnp.where(
         jnp.abs(vx) > 0.3,
-        jnp.asarray(mpc.x_drag_gain, dtype)
-        * pz_err * mpc.dt_mpc / jnp.where(vx == 0, 1.0, vx),
+        x_drag_gain * pz_err * mpc.dt_mpc / jnp.where(vx == 0, 1.0, vx),
         0.0,
     )
 
@@ -287,7 +296,11 @@ def mpc_step(
             state.prev_x_drag,
         )
     f_ext = jnp.where(state.have_prev[..., None], f_ext, 0.0)
-    est_state, f_for_qp = est_ops.update(state.est, sim_time, f_ext, est_cfg)
+    est_state, f_for_qp = est_ops.update(
+        state.est, sim_time, f_ext, est_cfg,
+        ema_smooth=None if tunable is None else tunable.ema_smooth,
+        ema_static=None if tunable is None else tunable.ema_static,
+    )
     f_steps = None
     if est_cfg.predictive:
         f_steps = est_ops.predict_horizon(
@@ -306,7 +319,7 @@ def mpc_step(
 
         sw, pred, x0 = problem.build_stagewise(
             qp_obs, x_ref, table, mpc, f_est=f_for_qp, x_drag=x_comp,
-            f_est_steps=f_steps,
+            f_est_steps=f_steps, tunable=tunable,
         )
         lead = sw.x0.shape[:-1]
         warm_sw = (
@@ -324,7 +337,7 @@ def mpc_step(
     elif isinstance(solver, ADMMConfig):
         qp, pred, x0 = problem.build_qp(
             qp_obs, x_ref, table, mpc, f_est=f_for_qp, x_drag=x_comp,
-            f_est_steps=f_steps,
+            f_est_steps=f_steps, tunable=tunable,
         )
         warm = qp_admm.ADMMState(
             x=state.warm_x, z=state.warm_z, y=state.warm_y,
@@ -338,7 +351,7 @@ def mpc_step(
     else:
         qp, pred, x0 = problem.build_qp(
             qp_obs, x_ref, table, mpc, f_est=f_for_qp, x_drag=x_comp,
-            f_est_steps=f_steps,
+            f_est_steps=f_steps, tunable=tunable,
         )
         u_sol, _ = qp_pdip.solve(qp, solver)
 
@@ -374,10 +387,15 @@ def swing_update(
     mpc: MPCConfig,
     loop: LoopConfig,
     swing_height,
+    tunable: TunableParams | None = None,
 ) -> tuple[ControllerState, ControlOutput]:
     """Per-control-tick swing/stance bookkeeping + foot targets
     (ConvexMPCLocomotion.cpp:277-460).  Increments the iteration counter.
+
+    tunable overrides swing_height / bonus_swing / p_rel_max live (traced).
     """
+    if tunable is not None:
+        swing_height = tunable.swing_height
     dtype = obs.p.dtype
     R = quat_to_rotmat(obs.quat)
     v_des_robot = jnp.stack(
@@ -416,8 +434,12 @@ def swing_update(
         body_height_z=obs.p[..., 2],
         interleave_y=inter,
         interleave_gain=swing_cfg.interleave_gain,
-        bonus_swing=swing_cfg.bonus_swing,
-        p_rel_max=swing_cfg.p_rel_max,
+        bonus_swing=(
+            swing_cfg.bonus_swing if tunable is None else tunable.bonus_swing
+        ),
+        p_rel_max=(
+            swing_cfg.p_rel_max if tunable is None else tunable.p_rel_max
+        ),
         dt_mpc=loop.dt_mpc,
     )
 

@@ -57,7 +57,10 @@ def bounds(
     """
     dtype = jnp.result_type(gait_table, jnp.float32)
     g = gait_table.astype(dtype)
-    fz_ub = g * jnp.asarray(f_max, dtype)                  # (..., h, 4)
+    fm = jnp.asarray(f_max, dtype)
+    if fm.ndim:                      # batched f_max: (...) -> (..., 1, 1)
+        fm = fm[..., None, None]
+    fz_ub = g * fm                                         # (..., h, 4)
     big = jnp.full_like(fz_ub, big_number)
     u = jnp.stack([big, big, big, big, fz_ub], axis=-1)    # (..., h, 4, 5)
     l = jnp.zeros_like(u)

@@ -270,13 +270,22 @@ def update(
     sim_time: jnp.ndarray,
     f_ext: jnp.ndarray,
     cfg: EstimatorConfig,
+    ema_smooth=None,
+    ema_static=None,
 ) -> tuple[EstimatorState, jnp.ndarray]:
     """One estimator step (per MPC solve).  Returns (new_state, f_for_qp).
 
     mode="faithful": f_for_qp is f_est once count > freeze_after, zeros
     before (SolverMPC.cpp:808-814); the fit freezes after freeze_after.
     mode="ls": continuous refit; released once count >= ls_release.
+
+    ema_smooth / ema_static: live-tunable (traced) overrides of the
+    config EMAs (TunableParams tier).
     """
+    if ema_smooth is None:
+        ema_smooth = cfg.ema_smooth
+    if ema_static is None:
+        ema_static = cfg.ema_static
     dtype = state.diffs.dtype
     times = jnp.concatenate(
         [state.times[..., 1:], sim_time[..., None].astype(dtype)], axis=-1
@@ -313,12 +322,12 @@ def update(
         release = count >= cfg.ls_release
         have_fit = count >= cfg.window
         f_est = jnp.where(have_fit[..., None], comp6, state.f_est)
-        f_est_smoothed = cfg.ema_smooth * state.f_est_smoothed + (
-            1.0 - cfg.ema_smooth
+        f_est_smoothed = ema_smooth * state.f_est_smoothed + (
+            1.0 - ema_smooth
         ) * f_est
         f_est_static = (
-            cfg.ema_static * state.f_est_static
-            + (1.0 - cfg.ema_static) * f_ext
+            ema_static * state.f_est_static
+            + (1.0 - ema_static) * f_ext
         )
         new_state = state._replace(
             times=times, diffs=diffs, wrench_hist=wrench_hist, count=count,
@@ -372,12 +381,12 @@ def update(
     f_est = state.f_est.at[..., 3].set(
         jnp.where(have_fit, comp, state.f_est[..., 3])
     )
-    f_est_smoothed = cfg.ema_smooth * state.f_est_smoothed + (
-        1.0 - cfg.ema_smooth
+    f_est_smoothed = ema_smooth * state.f_est_smoothed + (
+        1.0 - ema_smooth
     ) * f_est
     f_est_static = state.f_est_static.at[..., 3].set(
-        cfg.ema_static * state.f_est_static[..., 3]
-        + (1.0 - cfg.ema_static) * f_ext[..., 3]
+        ema_static * state.f_est_static[..., 3]
+        + (1.0 - ema_static) * f_ext[..., 3]
     )
 
     new_state = state._replace(

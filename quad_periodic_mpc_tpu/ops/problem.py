@@ -12,7 +12,7 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from quad_periodic_mpc_tpu.config import MPCConfig
+from quad_periodic_mpc_tpu.config import MPCConfig, TunableParams
 from quad_periodic_mpc_tpu.models import srb
 from quad_periodic_mpc_tpu.ops import condense, constraints
 from quad_periodic_mpc_tpu.ops.qp_admm import QPData
@@ -38,6 +38,7 @@ def build_qp(
     f_est: jnp.ndarray | None = None,
     x_drag: jnp.ndarray | float = 0.0,
     f_est_steps: jnp.ndarray | None = None,
+    tunable: TunableParams | None = None,
 ) -> tuple[QPData, condense.Prediction, jnp.ndarray]:
     """Assemble the condensed QP.
 
@@ -48,6 +49,8 @@ def build_qp(
       f_est: (..., 6) estimated external wrench [tau; f] fed through the
         Q_d augmentation (SolverMPC.cpp:810), or None for zeros.
       x_drag: drag compensation scalar (update_x_drag).
+      tunable: live-tunable overrides of cfg.weights/alpha/mu/f_max
+        (traced — retune with no recompile).
 
     Returns (qp, prediction, x0).
     """
@@ -61,20 +64,27 @@ def build_qp(
     A_ct, B_ct, Q_ct = srb.ct_dynamics(R, obs.r_feet, cfg.mass, I_body, x_drag)
     pred = condense.build_prediction(A_ct, B_ct, Q_ct, cfg.dt_mpc)
 
-    weights = jnp.asarray(cfg.weights, dtype)
+    t = tunable
+    weights = (
+        jnp.asarray(cfg.weights, dtype) if t is None
+        else t.weights.astype(dtype)
+    )
+    alpha = cfg.alpha if t is None else t.alpha
+    mu = cfg.mu if t is None else t.mu
+    f_max = cfg.f_max if t is None else t.f_max
     if f_est is None:
         f_est = jnp.zeros(x0.shape[:-1] + (6,), dtype)
 
-    P = condense.cost_hessian(pred, weights, cfg.alpha, h)
+    P = condense.cost_hessian(pred, weights, alpha, h)
     q = condense.cost_gradient(
         pred, weights, x0, x_ref, f_est, h, f_est_steps=f_est_steps
     )
 
-    l, u = constraints.bounds(gait_table, cfg.f_max, cfg.big_number)
+    l, u = constraints.bounds(gait_table, f_max, cfg.big_number)
     batch = l.shape[:-3]
     l = l.reshape(batch + (h * 4 * constraints.NC_PER_FOOT,))
     u = u.reshape(batch + (h * 4 * constraints.NC_PER_FOOT,))
-    F = constraints.pyramid_block(cfg.mu, dtype)
+    F = constraints.pyramid_block(mu, dtype)
 
     return QPData(P=P, q=q, F=F, l=l, u=u), pred, x0
 
@@ -87,6 +97,7 @@ def build_stagewise(
     f_est: jnp.ndarray | None = None,
     x_drag: jnp.ndarray | float = 0.0,
     f_est_steps: jnp.ndarray | None = None,
+    tunable: TunableParams | None = None,
 ):
     """Assemble the stage-wise (non-condensed) problem — the long-horizon
     path.  Skips the O(h^2) condensation entirely: the stage quadratics
@@ -116,14 +127,21 @@ def build_stagewise(
             f_est = jnp.zeros(x0.shape[:-1] + (6,), dtype)
         c = jnp.einsum("...nw,...w->...n", pred.Qdt, f_est)
 
-    weights = jnp.asarray(cfg.weights, dtype)
-    l, u = constraints.bounds(gait_table, cfg.f_max, cfg.big_number)
+    t = tunable
+    weights = (
+        jnp.asarray(cfg.weights, dtype) if t is None
+        else t.weights.astype(dtype)
+    )
+    alpha = cfg.alpha if t is None else t.alpha
+    mu = cfg.mu if t is None else t.mu
+    f_max = cfg.f_max if t is None else t.f_max
+    l, u = constraints.bounds(gait_table, f_max, cfg.big_number)
     batch = l.shape[:-3]
     sw = qp_stagewise.StagewiseProblem(
         Ad=pred.Adt, Bd=pred.Bdt, c=c, x0=x0, x_ref=x_ref,
         Q=2.0 * condense.full_weight(weights),
-        R=2.0 * cfg.alpha * jnp.ones(12, dtype),
-        F=constraints.pyramid_block(cfg.mu, dtype),
+        R=2.0 * jnp.asarray(alpha, dtype) * jnp.ones(12, dtype),
+        F=constraints.pyramid_block(mu, dtype),
         l=l.reshape(batch + (h, 20)),
         u=jnp.minimum(u, 1e4).reshape(batch + (h, 20)),
     )
