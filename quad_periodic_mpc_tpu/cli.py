@@ -13,7 +13,6 @@ from __future__ import annotations
 
 import argparse
 import json
-import sys
 
 
 def cmd_rollout(args) -> None:
@@ -53,9 +52,18 @@ def cmd_rollout(args) -> None:
         S.DisturbanceParams.reference((), dtype) if args.disturbance
         else S.DisturbanceParams.zero((), dtype)
     )
+    hm = ground_fn = terr = None
+    if args.terrain_step > 0:
+        from quad_periodic_mpc_tpu.terrain import scenario as TS
+
+        terr = TS.StairsTerrain.single_step(
+            edge_x=args.terrain_edge, height=args.terrain_step, dtype=dtype
+        )
+        hm = TS.build_map(terr, size=96, resolution=0.03, dtype=dtype)
+        ground_fn = lambda xy: TS.ground_z(terr, xy)
     carry, tr = L.rollout(
         args.steps, plant, ctrl, cmd, gait, dist, mpc_cfg, loop_cfg,
-        est_cfg, solver,
+        est_cfg, solver, heightmap=hm, ground_fn=ground_fn,
     )
     x = np.asarray(tr.x)
     vx = x[:, 9]
@@ -69,6 +77,13 @@ def cmd_rollout(args) -> None:
         "est_freq": float(carry.ctrl.est.est_freq),
         "est_amp": float(carry.ctrl.est.est_amp),
     }
+    if args.terrain_step > 0:
+        import jax.numpy as _jnp
+
+        zg = float(TS.ground_z(terr, _jnp.asarray(x[-1, 3:5])))
+        out["terrain_step"] = args.terrain_step
+        out["ground_final"] = zg
+        out["height_above_terrain_final"] = float(x[-1, 5]) - zg
     print(json.dumps(out, indent=2))
 
 
@@ -95,11 +110,10 @@ def cmd_parity(args) -> None:
     import numpy as np
     import jax.numpy as jnp
 
-    sys.path.insert(0, ".")
     from quad_periodic_mpc_tpu.config import ADMMConfig, PDIPConfig
     from quad_periodic_mpc_tpu.ops import qp_admm, qp_pdip
 
-    from tests.test_qp import make_mpc_qp  # standard fixture set
+    from quad_periodic_mpc_tpu.testing.fixtures import make_mpc_qp
 
     rows = []
     for seed in range(args.problems):
@@ -135,6 +149,10 @@ def main(argv=None) -> None:
     r.add_argument("--backend", choices=["xla", "pallas"], default="xla",
                    help="ADMM iteration-loop backend (pallas = fused TPU kernel)")
     r.add_argument("--f64", action="store_true")
+    r.add_argument("--terrain-step", type=float, default=0.0,
+                   help="doorstep height (m) — 0 disables the terrain tier")
+    r.add_argument("--terrain-edge", type=float, default=0.35,
+                   help="world x of the doorstep edge")
     r.set_defaults(fn=cmd_rollout)
 
     s = sub.add_parser("sweep", help="gait x disturbance Monte-Carlo sweep")

@@ -7,7 +7,8 @@ from quad_periodic_mpc_tpu.config import ADMMConfig
 from quad_periodic_mpc_tpu.ops import equilibrate as eq
 from quad_periodic_mpc_tpu.ops import qp_admm
 
-from tests.test_qp import make_mpc_qp, scipy_solve
+from quad_periodic_mpc_tpu.testing.fixtures import make_mpc_qp
+from tests.test_qp import scipy_solve
 
 
 def test_constraint_block_invariant():

@@ -16,7 +16,7 @@ from quad_periodic_mpc_tpu.config import ADMMConfig, PDIPConfig
 from quad_periodic_mpc_tpu.ops import problem, qp_admm, qp_pdip, qp_stagewise
 from quad_periodic_mpc_tpu.testing import golden
 
-from test_qp import make_mpc_qp
+from quad_periodic_mpc_tpu.testing.fixtures import make_mpc_qp
 
 pytestmark = pytest.mark.skipif(
     not golden.available(), reason="reference qpOASES tree not available"

@@ -7,7 +7,7 @@ import jax.numpy as jnp
 from quad_periodic_mpc_tpu.config import ADMMConfig
 from quad_periodic_mpc_tpu.ops import qp_admm, linalg
 from quad_periodic_mpc_tpu.ops.pallas.admm_kernel import fused_admm_iterations
-from tests.test_qp import make_mpc_qp
+from quad_periodic_mpc_tpu.testing.fixtures import make_mpc_qp
 
 
 def test_fused_admm_matches_xla_iteration():
