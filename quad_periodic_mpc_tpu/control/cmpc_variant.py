@@ -88,3 +88,45 @@ def terrain_foothold(
         )
 
     return jax.vmap(one_leg, in_axes=-2, out_axes=-2)(pf_raibert)
+
+
+def foothold_update(
+    hm: hmap.HeightMap,
+    pf_raibert: jnp.ndarray,       # (..., 4, 3) Raibert targets, world
+    p0: jnp.ndarray,               # (..., 4, 3) swing-start foot pos, world
+    search_radius_m: float = 0.10,
+    traversability_min: float = 0.8,
+    max_step_height: float = 0.17,
+) -> jnp.ndarray:
+    """Full _updateFoothold semantics (CMPC_Locomotion_cv.cpp:768-883):
+
+    xy — snap each Raibert target to the first valid cell in spiral
+    order within ``search_radius_m`` (``_idxMapChecking``:913-940,
+    validity = traversability > 0.8);
+
+    z — RELATIVE to the swing-start cell: pf_z = p0_z + (pf_h - p0_h)
+    with the step height clamped from above at MAX_STEP_HEIGHT
+    (CMPC_Locomotion_cv.h:24 = 0.17; :878-882 clamps only upward — the
+    downward clamp at :1046 is commented out in the reference, so a
+    drop-off is followed unclamped).
+
+    The reference's freeze-pose index arithmetic (:787-813) compensates
+    its robot-centric grid when map updates stop; this rebuild's grid is
+    world-anchored (``hm.center``), which makes the frozen-map case the
+    SAME world-frame lookup — proven by test_terrain_loop.py's frozen-map
+    test rather than re-derived per query.
+    """
+    import jax
+
+    def one_leg(pf, p0_leg):
+        sel = hmap.select_foothold(
+            hm, pf, search_radius_m=search_radius_m,
+            traversability_min=traversability_min,
+        )
+        idx0 = hmap.world_to_index(hm, p0_leg[..., 0:2])
+        z0 = hmap.sample(hm.elevation, idx0[..., None, :])[..., 0]
+        dz = jnp.minimum(sel[..., 2] - z0, max_step_height)
+        z = p0_leg[..., 2] + dz
+        return jnp.concatenate([sel[..., 0:2], z[..., None]], axis=-1)
+
+    return jax.vmap(one_leg, in_axes=(-2, -2), out_axes=-2)(pf_raibert, p0)

@@ -116,6 +116,23 @@ def _tick_balance_correction(
     return jnp.stack([fx, fy, fz], axis=-1)
 
 
+class TerrainLoopConfig(NamedTuple):
+    """Terrain-in-the-loop settings (the CMPCLocomotion_Cv / VisionMPC
+    tier): map-aware foothold selection + map body-height command.
+
+    max_step_height cites MAX_STEP_HEIGHT = 0.17 (CMPC_Locomotion_cv.h:24);
+    search radius 0.10 m cites _idxMapChecking (CMPC_Locomotion_cv.cpp:921).
+    body_height_from_map raises the commanded body height by the mean map
+    elevation under the feet — the map branch of _body_height_heuristics
+    (CMPC_Locomotion_cv.cpp:885-891, z_offset from the smoothed plane at
+    the robot center)."""
+
+    search_radius_m: float = 0.10
+    traversability_min: float = 0.8
+    max_step_height: float = 0.17
+    body_height_from_map: bool = True
+
+
 class RolloutTrace(NamedTuple):
     """Per-MPC-step telemetry (LogData analog)."""
 
@@ -140,6 +157,9 @@ def rollout(
     model: RobotModel = A1,
     swing_cfg: SwingConfig = SwingConfig(),
     tick_balance: TickBalanceGains | None = None,
+    heightmap=None,
+    ground_fn=None,
+    terrain_cfg: TerrainLoopConfig = TerrainLoopConfig(),
 ) -> tuple[RolloutCarry, RolloutTrace]:
     """Run n_mpc_steps MPC periods (each = iterations_between_mpc ticks).
 
@@ -148,31 +168,71 @@ def rollout(
     support polygon degenerates to a line (pacing) or to flight phases
     (trot_running), exactly the cases the reference cannot run MPC-only
     either (it always layers WBC at 500 Hz, FSM_State_Locomotion.cpp:267).
+
+    Terrain tier (the CMPCLocomotion_Cv / VisionMPC closed loop):
+    `heightmap` switches on map-aware foothold selection (full
+    _updateFoothold semantics via control.cmpc_variant.foothold_update)
+    and, per terrain_cfg, a map-derived body-height command; `ground_fn`
+    (xy -> z) gives the plant the true surface so terrain-blind swing
+    targets strike risers early.  Both batch: a (B, H, W) heightmap runs
+    B terrain scenarios in lockstep (the sweep's terrain axis).
     """
+    if heightmap is not None:
+        from quad_periodic_mpc_tpu.control import cmpc_variant as cv
+        from quad_periodic_mpc_tpu.terrain import heightmap as hmap
+
+        def _foothold_adjust(pf_target, state, obs):
+            p0 = jnp.where(
+                state.first_swing[..., None], obs.p_feet, state.swing_p0
+            )
+            return cv.foothold_update(
+                heightmap, pf_target, p0,
+                search_radius_m=terrain_cfg.search_radius_m,
+                traversability_min=terrain_cfg.traversability_min,
+                max_step_height=terrain_cfg.max_step_height,
+            )
+    else:
+        _foothold_adjust = None
+
+    def _terrain_cmd(obs):
+        if heightmap is None or not terrain_cfg.body_height_from_map:
+            return cmd
+        from quad_periodic_mpc_tpu.terrain import heightmap as hmap
+
+        # per-foot lookup: expand the map center against the foot axis
+        hm_feet = heightmap._replace(
+            center=heightmap.center[..., None, :]
+        )
+        idx = hmap.world_to_index(hm_feet, obs.p_feet[..., 0:2])
+        z_feet = hmap.sample(heightmap.elevation, idx)       # (..., 4)
+        z_ground = jnp.mean(z_feet, axis=-1)
+        return cmd._replace(body_height=cmd.body_height + z_ground)
 
     def control_tick(carry: RolloutCarry, do_mpc: bool):
         plant, ctrl = carry
         obs = srb_sim.observe(plant)
+        cmd_t = _terrain_cmd(obs)
 
-        ctrl = mpc_ctrl.setup_command(ctrl, cmd, loop_cfg)
+        ctrl = mpc_ctrl.setup_command(ctrl, cmd_t, loop_cfg)
         if do_mpc:
             ctrl, _ = mpc_ctrl.mpc_step(
-                ctrl, obs, cmd, gait, plant.t, mpc_cfg, loop_cfg, est_cfg,
+                ctrl, obs, cmd_t, gait, plant.t, mpc_cfg, loop_cfg, est_cfg,
                 solver,
             )
         ctrl, out = mpc_ctrl.swing_update(
-            ctrl, obs, cmd, gait, model, swing_cfg, mpc_cfg, loop_cfg,
+            ctrl, obs, cmd_t, gait, model, swing_cfg, mpc_cfg, loop_cfg,
             loop_cfg.swing_height,
+            foothold_adjust=_foothold_adjust,
         )
         stance = (out.swing_state <= 0).astype(plant.x.dtype)
         forces = out.fr_des
         if tick_balance is not None:
             forces = _tick_balance_correction(
-                tick_balance, obs, ctrl, cmd, stance, forces, mpc_cfg
+                tick_balance, obs, ctrl, cmd_t, stance, forces, mpc_cfg
             )
         plant = srb_sim.step(
             plant, forces, out.p_foot_des, stance, dist, mpc_cfg,
-            loop_cfg.dt,
+            loop_cfg.dt, ground_fn=ground_fn,
         )
         return RolloutCarry(plant, ctrl)
 

@@ -388,11 +388,18 @@ def swing_update(
     loop: LoopConfig,
     swing_height,
     tunable: TunableParams | None = None,
+    foothold_adjust=None,
 ) -> tuple[ControllerState, ControlOutput]:
     """Per-control-tick swing/stance bookkeeping + foot targets
     (ConvexMPCLocomotion.cpp:277-460).  Increments the iteration counter.
 
     tunable overrides swing_height / bonus_swing / p_rel_max live (traced).
+
+    foothold_adjust: optional hook ``(pf_target, state, obs) -> pf`` run on
+    the Raibert targets before they are committed as swing goals — the
+    terrain tier plugs the elevation-map foothold update here (the call
+    site of _updateFoothold inside the _cv driver's swing-leg loop,
+    CMPC_Locomotion_cv.cpp:1022).
     """
     if tunable is not None:
         swing_height = tunable.swing_height
@@ -442,6 +449,9 @@ def swing_update(
         ),
         dt_mpc=loop.dt_mpc,
     )
+
+    if foothold_adjust is not None:
+        pf_target = foothold_adjust(pf_target, state, obs)
 
     in_swing = swing_st > 0
     # first tick of swing: lock p0 at current foot position

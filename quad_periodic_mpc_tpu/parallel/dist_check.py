@@ -84,7 +84,7 @@ def main(argv=None) -> dict:
     est_cfg = EstimatorConfig()
     solver = ADMMConfig(iterations=30)
 
-    gait, iters, dist = sweep_lib.build_scenarios(spec, dtype)
+    gait, iters, dist, _terrain = sweep_lib.build_scenarios(spec, dtype)
     plant = srb_sim.init_plant((B,), body_height=0.29, dtype=dtype)
     obs = srb_sim.observe(plant)
     ctrl = mpc_mod.init_state((B,), obs, dtype=dtype, horizon=mpc_cfg.horizon)

@@ -34,7 +34,13 @@ from quad_periodic_mpc_tpu.sim import srb_sim
 
 
 class SweepSpec(NamedTuple):
-    """Cartesian scenario axes; total batch = product of axis lengths."""
+    """Cartesian scenario axes; total batch = product of axis lengths.
+
+    The terrain axes realize BASELINE config 4 ("elevation-map foothold
+    candidates x disturbance hypotheses"): each (riser, edge_x) pair gets
+    its own heightmap instance, and the rollout runs the full
+    map-foothold/body-height terrain tier per scenario.  Empty
+    terrain_risers = flat ground, no map (configs 3/5)."""
 
     gait_names: tuple = ("trotting", "bounding", "pacing", "galloping")
     phase_offsets: int = 4            # initial gait-phase shifts
@@ -42,13 +48,22 @@ class SweepSpec(NamedTuple):
     dist_amp: tuple = (15.0,)         # N
     dist_freq: tuple = (0.33,)        # Hz
     dist_phase: tuple = (0.0,)        # rad
+    terrain_risers: tuple = ()        # m; () = flat, no heightmap
+    terrain_edge_x: tuple = (0.30,)   # m, first riser position
+    map_size: int = 48                # heightmap cells per side
+    map_resolution: float = 0.04      # m / cell
     vx: float = 0.3
 
     @property
     def size(self) -> int:
+        n_terrain = (
+            len(self.terrain_risers) * len(self.terrain_edge_x)
+            if self.terrain_risers else 1
+        )
         return (
             len(self.gait_names) * self.phase_offsets * len(self.dist_static)
             * len(self.dist_amp) * len(self.dist_freq) * len(self.dist_phase)
+            * n_terrain
         )
 
 
@@ -61,20 +76,31 @@ class SweepResult(NamedTuple):
 
 
 def build_scenarios(spec: SweepSpec, dtype=jnp.float32):
-    """Expand the spec into batched (gait, phase-iteration, disturbance)."""
+    """Expand the spec into batched (gait, phase-iteration, disturbance,
+    terrain).  terrain is None when the spec has no terrain axis."""
     import itertools
+
+    from quad_periodic_mpc_tpu.terrain import scenario as terrain_scn
+
+    terrain_axis = (
+        list(itertools.product(spec.terrain_risers, spec.terrain_edge_x))
+        if spec.terrain_risers else [None]
+    )
 
     gaits, iters = [], []
     dist_s, dist_a, dist_f, dist_p = [], [], [], []
+    risers, edges = [], []
     period_iters = 13 * gait_ops.DEFAULT_PERIOD
-    for name, ph, ds, da, df, dp in itertools.product(
+    for name, ph, ds, da, df, dp, terr in itertools.product(
         spec.gait_names, range(spec.phase_offsets), spec.dist_static,
-        spec.dist_amp, spec.dist_freq, spec.dist_phase,
+        spec.dist_amp, spec.dist_freq, spec.dist_phase, terrain_axis,
     ):
         off, dur = gait_ops.PRESET_GAITS[name]
         gaits.append((off, dur))
         iters.append((ph * period_iters) // spec.phase_offsets)
         dist_s.append(ds); dist_a.append(da); dist_f.append(df); dist_p.append(dp)
+        if terr is not None:
+            risers.append(terr[0]); edges.append(terr[1])
 
     off = jnp.asarray([g[0] for g in gaits], jnp.int32)
     dur = jnp.asarray([g[1] for g in gaits], jnp.int32)
@@ -86,7 +112,14 @@ def build_scenarios(spec: SweepSpec, dtype=jnp.float32):
         static=jnp.asarray(dist_s, dtype), amp=jnp.asarray(dist_a, dtype),
         freq=jnp.asarray(dist_f, dtype), phase=jnp.asarray(dist_p, dtype),
     )
-    return gait, jnp.asarray(iters, jnp.int32), dist
+    terrain = None
+    if spec.terrain_risers:
+        terrain = terrain_scn.StairsTerrain(
+            edge_x=jnp.asarray(edges, dtype),
+            riser=jnp.asarray(risers, dtype),
+            tread=10.0, n_steps=1,
+        )
+    return gait, jnp.asarray(iters, jnp.int32), dist, terrain
 
 
 def run_sweep(
@@ -100,7 +133,9 @@ def run_sweep(
     dtype=jnp.float32,
 ) -> SweepResult:
     """Roll out every scenario in lockstep, sharded over the mesh."""
-    gait, iters, dist = build_scenarios(spec, dtype)
+    from quad_periodic_mpc_tpu.terrain import scenario as terrain_scn
+
+    gait, iters, dist, terrain = build_scenarios(spec, dtype)
     B = spec.size
     batch = (B,)
 
@@ -114,28 +149,51 @@ def run_sweep(
         yaw_rate=jnp.zeros(batch, dtype),
         body_height=jnp.full(batch, 0.29, dtype),
     )
-
-    if mesh is not None:
-        plant, ctrl, cmd, gait, dist = mesh_lib.shard_batch(
-            (plant, ctrl, cmd, gait, dist), mesh
+    hm = None
+    if terrain is not None:
+        hm = terrain_scn.build_map(
+            terrain, size=spec.map_size, resolution=spec.map_resolution,
+            dtype=dtype,
         )
 
-    def go(plant, ctrl, cmd, gait, dist):
+    if mesh is not None:
+        plant, ctrl, cmd, gait, dist, terrain, hm = mesh_lib.shard_batch(
+            (plant, ctrl, cmd, gait, dist, terrain, hm), mesh
+        )
+
+    def go(plant, ctrl, cmd, gait, dist, terrain, hm):
+        if hm is not None:
+            # resolution / tread / n_steps are static metadata, but
+            # sharding/jit turned the pytree leaves into traced scalars —
+            # re-pin them (spiral-offset table sizes and clip bounds
+            # derive from them at trace time)
+            hm = hm._replace(resolution=spec.map_resolution)
+        if terrain is not None:
+            terrain = terrain._replace(tread=10.0, n_steps=1)
         carry, trace = loop_mod.rollout(
             n_mpc_steps, plant, ctrl, cmd, gait, dist, mpc_cfg, loop_cfg,
             est_cfg, solver,
+            heightmap=hm,
+            ground_fn=(
+                None if terrain is None
+                else lambda xy: terrain_scn.ground_z(terrain, xy)
+            ),
         )
         vx = trace.x[..., 9]
         half = vx.shape[-1] // 2
         vx_rms = jnp.sqrt(jnp.mean((vx[..., half:] - cmd.vx[..., None]) ** 2, -1))
         z = trace.x[..., 5]
-        height_rms = jnp.sqrt(
-            jnp.mean((z[..., half:] - cmd.body_height[..., None]) ** 2, -1)
-        )
+        z_ref = jnp.broadcast_to(cmd.body_height[..., None], z.shape)
+        if terrain is not None:
+            # height error measured above the local terrain surface
+            xy = jnp.stack([trace.x[..., 3], trace.x[..., 4]], axis=-1)
+            z_ref = z_ref + terrain_scn.ground_z(terrain, xy)
+        height_err = z[..., half:] - z_ref[..., half:]
+        height_rms = jnp.sqrt(jnp.mean(height_err ** 2, -1))
         return vx_rms, height_rms, jnp.mean(vx_rms), jnp.argmin(vx_rms)
 
     vx_rms, height_rms, mean_rms, best = jax.jit(go)(
-        plant, ctrl, cmd, gait, dist
+        plant, ctrl, cmd, gait, dist, terrain, hm
     )
     return SweepResult(
         vx_rms=vx_rms, height_rms=height_rms, mean_vx_rms=mean_rms,

@@ -122,6 +122,7 @@ def step(
     dist: DisturbanceParams,
     cfg: MPCConfig,
     dt: float,
+    ground_fn=None,
 ) -> PlantState:
     """One plant step of length dt.
 
@@ -132,6 +133,11 @@ def step(
         swing feet teleport along their commanded trajectory (perfect
         tracking; torque-level leg dynamics arrive with the WBC tier).
       stance_mask: (..., 4) 1 = foot on ground.
+      ground_fn: optional terrain surface ``xy (..., 2) -> z (...,)`` —
+        swing feet cannot penetrate the ground, so a foot commanded below
+        the surface is clamped onto it (early touchdown against a riser
+        face, the situation the RaiSim stairs scene creates for a
+        terrain-blind controller).
     """
     dtype = plant.x.dtype
     rpy = plant.x[..., 0:3]
@@ -155,6 +161,11 @@ def step(
     feet_new = jnp.where(
         stance_mask[..., None] > 0.5, plant.p_feet, p_foot_des
     )
+    if ground_fn is not None:
+        gz = ground_fn(feet_new[..., 0:2])
+        feet_new = feet_new.at[..., 2].set(
+            jnp.maximum(feet_new[..., 2], gz)
+        )
     return PlantState(x=x_new, p_feet=feet_new, t=plant.t + dt)
 
 
