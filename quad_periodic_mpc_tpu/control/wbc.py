@@ -224,7 +224,9 @@ def kin_wbc(
     batch = state.pos.shape[:-1]
     eye = jnp.eye(N_DOF, dtype=dtype)
 
-    Jc_flat = Jc_masked.reshape(batch + (12, N_DOF))
+    # accepts (..., 4, 3, 18) point contacts or any pre-flattened
+    # (..., m, 18) contact Jacobian (e.g. the 6-row FixedBodyContact)
+    Jc_flat = Jc_masked.reshape(batch + (-1, N_DOF))
     Jc_pinv = _damped_pinv(Jc_flat, gains.pinv_damping)
     Nc = eye - Jc_pinv @ Jc_flat
 
@@ -276,8 +278,8 @@ def wbic(
     batch = state.pos.shape[:-1]
     eye = jnp.eye(N_DOF, dtype=dtype)
 
-    Jc = Jc_masked.reshape(batch + (12, N_DOF))
-    Jcdqd = Jcdqd_masked.reshape(batch + (12,))
+    Jc = Jc_masked.reshape(batch + (-1, N_DOF))
+    Jcdqd = Jcdqd_masked.reshape(batch + (-1,))
     JcBar = _weighted_pinv(Jc, Ainv, gains.pinv_damping)
     qddot = jnp.einsum("...ij,...j->...i", JcBar, -Jcdqd)
     Npre = eye - JcBar @ Jc

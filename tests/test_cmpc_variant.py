@@ -1,11 +1,14 @@
 """CMPC-variant feature tests (CMPC_Locomotion.cpp extensions)."""
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
 from quad_periodic_mpc_tpu.control import cmpc_variant as cv
 from quad_periodic_mpc_tpu.ops import gait as gait_ops
 from quad_periodic_mpc_tpu.terrain import heightmap as hmap
+
+pytestmark = pytest.mark.smoke  # fast cross-layer sanity tier
 
 
 def test_pitch_reference_flat_ground():

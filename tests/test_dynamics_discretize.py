@@ -262,3 +262,5 @@ def test_timevarying_disturbance_response():
     for r in range(k, 6):
         np.testing.assert_allclose(tv2[r], expect, atol=1e-9)
         expect = Adt @ expect
+
+pytestmark = pytest.mark.smoke  # fast cross-layer sanity tier

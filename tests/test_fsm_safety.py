@@ -1,10 +1,13 @@
 """FSM + safety mask tests (ControlFSM.cpp / SafetyChecker.cpp)."""
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
 from quad_periodic_mpc_tpu.control import fsm, safety
 from quad_periodic_mpc_tpu.models.a1 import A1
+
+pytestmark = pytest.mark.smoke  # fast cross-layer sanity tier
 
 
 def _step(f, req, safe=True, loco_safe=True, batch=()):

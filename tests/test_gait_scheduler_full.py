@@ -2,11 +2,14 @@
 semantics (GaitScheduler.cpp:206-575), phase trajectories checked
 against a direct NumPy transcription of the C++ recurrence."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 from quad_periodic_mpc_tpu.ops import gait_scheduler as gs
+
+pytestmark = pytest.mark.smoke  # fast cross-layer sanity tier
 
 
 def numpy_reference_step(state, dt):

@@ -8,6 +8,8 @@ import pytest
 from quad_periodic_mpc_tpu.ops import gait as gait_ops
 from quad_periodic_mpc_tpu.ops import swing
 
+pytestmark = pytest.mark.smoke  # fast cross-layer sanity tier
+
 
 def ref_gait_state(offsets, durations, nseg, iteration, iters_per_mpc):
     """Oracle: OffsetDurationGait::{setIterations,getContactState,

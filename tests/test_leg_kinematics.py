@@ -1,11 +1,14 @@
 """Leg kinematics / LegController tests (LegController.cpp:230-268 oracle)."""
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
 from quad_periodic_mpc_tpu.control import leg_controller as lc
 from quad_periodic_mpc_tpu.models import leg_kinematics as lk
 from quad_periodic_mpc_tpu.models.a1 import A1
+
+pytestmark = pytest.mark.smoke  # fast cross-layer sanity tier
 
 GEOM = lk.LegGeometry(
     l1=A1.leg.abad_link_length, l2=A1.leg.hip_link_length,

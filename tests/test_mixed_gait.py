@@ -1,9 +1,12 @@
 """MixedFrequncyGait semantics: per-leg periods, shared duty cycle."""
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
 from quad_periodic_mpc_tpu.ops import gait as G
+
+pytestmark = pytest.mark.smoke  # fast cross-layer sanity tier
 
 
 def test_phase_per_leg_periods():

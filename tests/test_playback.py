@@ -1,9 +1,12 @@
 """Control-plan playback tests (DataReader/BackFlipCtrl rebuild)."""
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
 from quad_periodic_mpc_tpu.control import playback
+
+pytestmark = pytest.mark.smoke  # fast cross-layer sanity tier
 
 
 def test_plan_roundtrip(tmp_path):

@@ -1,11 +1,14 @@
 """Pose behaviors, signal filters, stairs swing tests."""
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
 from quad_periodic_mpc_tpu.control import poses
 from quad_periodic_mpc_tpu.ops import swing
 from quad_periodic_mpc_tpu.utils import filters
+
+pytestmark = pytest.mark.smoke  # fast cross-layer sanity tier
 
 
 def test_stand_up_ramp():

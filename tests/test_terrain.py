@@ -1,10 +1,13 @@
 """Terrain tier tests: Kalman height fusion + spiral foothold selection."""
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
 from quad_periodic_mpc_tpu.ops import gait_scheduler as gs
 from quad_periodic_mpc_tpu.terrain import heightmap as hmap
+
+pytestmark = pytest.mark.smoke  # fast cross-layer sanity tier
 
 
 def test_fuse_points_kalman():

@@ -1,5 +1,6 @@
 """Checkpoint, telemetry, and CLI smoke tests."""
 
+import pytest
 import json
 import subprocess
 import sys
@@ -9,6 +10,8 @@ import jax.numpy as jnp
 
 from quad_periodic_mpc_tpu.ops import estimator as est
 from quad_periodic_mpc_tpu.utils import checkpoint, telemetry
+
+pytestmark = pytest.mark.smoke  # fast cross-layer sanity tier
 
 
 def test_checkpoint_roundtrip(tmp_path):
