@@ -122,6 +122,7 @@ def foothold_update(
         sel = hmap.select_foothold(
             hm, pf, search_radius_m=search_radius_m,
             traversability_min=traversability_min,
+            keep_xy_if_unmoved=True,   # avoid the ceil-quantization CoP bias
         )
         idx0 = hmap.world_to_index(hm, p0_leg[..., 0:2])
         z0 = hmap.sample(hm.elevation, idx0[..., None, :])[..., 0]

@@ -503,10 +503,20 @@ def select_foothold(
     search_radius_m: float = 0.10,
     traversability_min: float = 0.8,
     foot_offset: float = 0.0,
+    keep_xy_if_unmoved: bool = False,
 ) -> jnp.ndarray:
     """Map-aware foothold: snap pf to the first traversable cell in
     spiral order and take its elevation (z) — _idxMapChecking +
     _updateFoothold (CMPC_Locomotion_cv.cpp:768-940), shape-static.
+
+    keep_xy_if_unmoved: when the spiral search selects the Raibert
+    target's own cell, return the EXACT Raibert xy instead of the cell
+    center.  The reference always rewrites pf from the (ceil-quantized)
+    cell index (:835-838), which biases every foothold up to one cell
+    toward +x/+y and, applied to all four feet, shifts the support
+    polygon and walks the body sideways (measured: -0.25 m lateral drift
+    over 110 trot steps on a 3 cm grid).  Snapping only MOVED targets
+    removes the bias while preserving the search semantics.
     """
     H = hm.elevation.shape[-2]
     W = hm.elevation.shape[-1]
@@ -538,10 +548,8 @@ def select_foothold(
     xy = hm.center + hm.resolution * jnp.stack(
         [rel_col.astype(z.dtype), rel_row.astype(z.dtype)], axis=-1
     )
-    return jnp.concatenate(
-        [
-            jnp.where(any_valid[..., None], xy, pf[..., 0:2]),
-            (z + foot_offset)[..., None],
-        ],
-        axis=-1,
-    )
+    xy = jnp.where(any_valid[..., None], xy, pf[..., 0:2])
+    if keep_xy_if_unmoved:
+        unmoved = jnp.all(sel == center_idx, axis=-1)
+        xy = jnp.where(unmoved[..., None], pf[..., 0:2], xy)
+    return jnp.concatenate([xy, (z + foot_offset)[..., None]], axis=-1)
