@@ -220,6 +220,56 @@ def main() -> None:
             _update(value=round(best, 1), vs_baseline=round(best / 1e4, 4),
                     batch=b)
 
+    # ---- production-path KKT residuals at batch scale ----
+    # Accuracy evidence for the headline number: after warm steps on the
+    # drifting plant, compute per-instance KKT residuals of the solution
+    # against exactly the QP mpc_step assembled (return_qp audit hook).
+    # CPU ceilings are pinned in tests/test_kkt_ceiling.py; the fields
+    # here capture the same quantities on the real TPU pallas path.
+    if best_b:
+        try:
+            from quad_periodic_mpc_tpu.ops import qp_admm
+
+            def step_audit(ctrl, plant, cmd, gait, dist):
+                obs = S.observe(plant)
+                ctrl, forces, qp = M.mpc_step(
+                    ctrl, obs, cmd, gait, plant.t, mpc_cfg, loop_cfg,
+                    est_cfg, solver, return_qp=True,
+                )
+                res = qp_admm.kkt_residuals(
+                    qp, ctrl.warm_x, ctrl.warm_z, ctrl.warm_y
+                )
+                seg = G.segment_index(
+                    gait, ctrl.iteration, loop_cfg.iterations_between_mpc
+                )
+                stance = G.mpc_table(gait, seg, 1)[..., 0, :].astype(dtype)
+                plant = S.step(
+                    plant, forces[..., 0, :, :], plant.p_feet, stance,
+                    dist, mpc_cfg, dt_mpc,
+                )
+                ctrl = ctrl._replace(
+                    iteration=ctrl.iteration + loop_cfg.iterations_between_mpc
+                )
+                return ctrl, plant, res
+
+            audit_jit = jax.jit(step_audit)
+            ctrl, plant, cmd, gait, dist = make_inputs(best_b)
+            res = None
+            for _ in range(6):
+                ctrl, plant, res = audit_jit(ctrl, plant, cmd, gait, dist)
+            kp = float(jnp.max(res["primal"]))
+            kd = float(jnp.max(res["dual"]))
+            _update(kkt_primal_max=round(kp, 6), kkt_dual_max=round(kd, 6))
+            print(
+                f"warm-step-6 KKT residuals @ batch {best_b}: "
+                f"primal max {kp:.2e}, dual max {kd:.2e} "
+                f"(CPU ceilings 6e-3 / 1e-3, test_kkt_ceiling.py)",
+                file=sys.stderr, flush=True,
+            )
+        except Exception as e:
+            print(f"kkt phase failed: {type(e).__name__}: {e}",
+                  file=sys.stderr, flush=True)
+
     # ---- achieved FLOP/s vs peak (roofline position) ----
     if best_b:
         try:

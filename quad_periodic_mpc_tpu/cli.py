@@ -84,6 +84,21 @@ def cmd_rollout(args) -> None:
         out["terrain_step"] = args.terrain_step
         out["ground_final"] = zg
         out["height_above_terrain_final"] = float(x[-1, 5]) - zg
+    if args.viz_svg:
+        from quad_periodic_mpc_tpu.utils import viz
+
+        markers = viz.scene(
+            p_body=x[-1, 3:6],
+            p_feet=np.asarray(carry.plant.p_feet),
+            contact_state=np.asarray(
+                (carry.ctrl.swing_time_remaining <= 0).astype(float)
+            ),
+            swing_pf=np.asarray(carry.ctrl.swing_pf),
+            forces=np.asarray(carry.ctrl.fr_des),
+            x_ref_positions=x[:, 3:6],
+        )
+        viz.render_svg(markers, args.viz_svg, view="xz")
+        out["viz_svg"] = args.viz_svg
     print(json.dumps(out, indent=2))
 
 
@@ -153,6 +168,8 @@ def main(argv=None) -> None:
                    help="doorstep height (m) — 0 disables the terrain tier")
     r.add_argument("--terrain-edge", type=float, default=0.35,
                    help="world x of the doorstep edge")
+    r.add_argument("--viz-svg", default="",
+                   help="write the final-state marker scene (RViz analog) to this SVG")
     r.set_defaults(fn=cmd_rollout)
 
     s = sub.add_parser("sweep", help="gait x disturbance Monte-Carlo sweep")

@@ -232,6 +232,7 @@ def mpc_step(
     solver: ADMMConfig | PDIPConfig,
     ground_truth_z: jnp.ndarray | None = None,
     tunable: TunableParams | None = None,
+    return_qp: bool = False,
 ) -> tuple[ControllerState, jnp.ndarray]:
     """One MPC solve (solveDenseMPC, ConvexMPCLocomotion.cpp:612-870).
 
@@ -241,6 +242,11 @@ def mpc_step(
     tunable: live-tunable runtime parameters (the dynamic_reconfigure
     tier) — traced, so retuning weights/alpha/mu/f_max/x-drag/EMAs
     between calls reuses the compiled program.
+
+    return_qp (static): also return the assembled condensed QPData
+    (None on the stagewise path) so callers can audit the solve —
+    bench.py and the accuracy tests compute KKT residuals of the
+    production warm solution against exactly the QP it solved.
     """
     dtype = obs.p.dtype
     R = quat_to_rotmat(obs.quat)
@@ -327,6 +333,7 @@ def mpc_step(
             state.warm_z.reshape(lead + (mpc.horizon, 20)),
             state.warm_y.reshape(lead + (mpc.horizon, 20)),
         )
+        qp_out = None
         U, info = qp_stagewise.solve(sw, solver, warm=warm_sw)
         state = state._replace(
             warm_x=U.reshape(lead + (mpc.horizon * 12,)),
@@ -343,6 +350,7 @@ def mpc_step(
             x=state.warm_x, z=state.warm_z, y=state.warm_y,
             kinv=state.warm_kinv,
         )
+        qp_out = qp
         u_sol, warm_out = qp_admm.solve(qp, solver, warm=warm)
         state = state._replace(
             warm_x=warm_out.x, warm_z=warm_out.z, warm_y=warm_out.y,
@@ -353,6 +361,7 @@ def mpc_step(
             qp_obs, x_ref, table, mpc, f_est=f_for_qp, x_drag=x_comp,
             f_est_steps=f_steps, tunable=tunable,
         )
+        qp_out = qp
         u_sol, _ = qp_pdip.solve(qp, solver)
 
     forces = u_sol.reshape(u_sol.shape[:-1] + (mpc.horizon, 4, 3))
@@ -374,6 +383,8 @@ def mpc_step(
         prev_x_drag=x_comp,
         have_prev=jnp.ones_like(state.have_prev),
     )
+    if return_qp:
+        return state, forces, qp_out
     return state, forces
 
 
