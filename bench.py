@@ -95,6 +95,8 @@ def main() -> None:
                     help="ADMM iteration-loop backend")
     ap.add_argument("--no-p99", action="store_true",
                     help="skip the b=1 on-device p99 latency phase")
+    ap.add_argument("--no-longhorizon", action="store_true",
+                    help="skip the h=32 stagewise second metric")
     ap.add_argument("--latency", action="store_true",
                     help="also measure b=1 host-round-trip latency")
     # SURVEY.md §5 tracing analog (the reference's SHOW_MPC_SOLVE_TIME /
@@ -330,6 +332,81 @@ def main() -> None:
                   "budget 2 ms)", file=sys.stderr, flush=True)
         except Exception as e:
             print(f"p99 phase failed: {type(e).__name__}: {e}",
+                  file=sys.stderr, flush=True)
+
+    # ---- long-horizon second line: h=32 stagewise (VERDICT r1 item 5) ----
+    # The condensed formulation is f32-range-bound past h ~ 20 (the
+    # reference hard-caps h = 19, SolverMPC.cpp:113); the lane-major
+    # packed Riccati-ADMM is the long-horizon path.  Full mpc_step, end
+    # to end, batch 512.
+    if not args.no_longhorizon:
+        try:
+            lh_h = 32
+            lh_b = 512
+            lh_cfg = MPCConfig(horizon=lh_h)
+            lh_solver = ADMMConfig(
+                iterations=args.admm_iters, formulation="stagewise"
+            )
+
+            def make_lh(batch: int):
+                plant = S.init_plant((batch,), body_height=0.29, dtype=dtype)
+                obs = S.observe(plant)
+                ctrl = M.init_state(
+                    (batch,), obs, dtype=dtype, horizon=lh_h,
+                    formulation="stagewise",
+                )
+                ctrl = ctrl._replace(
+                    iteration=(jnp.arange(batch, dtype=jnp.int32) * 7) % 208
+                )
+                cmd = M.Command(
+                    vx=jnp.zeros((batch,), dtype),
+                    vy=jnp.zeros((batch,), dtype),
+                    yaw_rate=jnp.zeros((batch,), dtype),
+                    body_height=jnp.full((batch,), 0.29, dtype),
+                )
+                gait = G.preset("trotting")
+                dist = S.DisturbanceParams.reference((batch,), dtype=dtype)
+                return ctrl, plant, cmd, gait, dist
+
+            def lh_step(ctrl, plant, cmd, gait, dist):
+                obs = S.observe(plant)
+                ctrl, forces = M.mpc_step(
+                    ctrl, obs, cmd, gait, plant.t, lh_cfg, loop_cfg,
+                    est_cfg, lh_solver,
+                )
+                seg = G.segment_index(
+                    gait, ctrl.iteration, loop_cfg.iterations_between_mpc
+                )
+                stance = G.mpc_table(gait, seg, 1)[..., 0, :].astype(dtype)
+                plant = S.step(
+                    plant, forces[..., 0, :, :], plant.p_feet, stance,
+                    dist, lh_cfg, dt_mpc,
+                )
+                ctrl = ctrl._replace(
+                    iteration=ctrl.iteration + loop_cfg.iterations_between_mpc
+                )
+                return ctrl, plant, forces
+
+            lh_jit = jax.jit(lh_step)
+            ctrl, plant, cmd, gait, dist = make_lh(lh_b)
+            ctrl, plant, f = lh_jit(ctrl, plant, cmd, gait, dist)
+            float(jnp.sum(f))
+            n = max(args.iters // 2, 5)
+            t0 = time.perf_counter()
+            for _ in range(n):
+                ctrl, plant, f = lh_jit(ctrl, plant, cmd, gait, dist)
+            checksum = float(jnp.sum(f))
+            dt = time.perf_counter() - t0
+            if np.isfinite(checksum):
+                lh_sps = lh_b * n / dt
+                _update(h32_stagewise_solves_per_s=round(lh_sps, 1))
+                print(
+                    f"h=32 stagewise end-to-end: {lh_sps:,.0f} solves/s "
+                    f"@ batch {lh_b} ({dt / n * 1e3:.1f} ms/step)",
+                    file=sys.stderr, flush=True,
+                )
+        except Exception as e:
+            print(f"long-horizon phase failed: {type(e).__name__}: {e}",
                   file=sys.stderr, flush=True)
 
     if args.profile:
