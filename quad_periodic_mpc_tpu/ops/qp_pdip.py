@@ -121,6 +121,25 @@ def solve(qp: QPData, cfg: PDIPConfig) -> tuple[jnp.ndarray, PDIPState]:
             jnp.minimum(_max_step(sl, dsl, tau), _max_step(su, dsu, tau)),
             jnp.minimum(_max_step(zl, dzl, tau), _max_step(zu, dzu, tau)),
         )[..., None]
+        # Late-path NaN freeze: with the f64-tuned mu_min = 1e-10 the
+        # f32 Cholesky of P + A^T D A (cond ~ max(d) ~ 1e8-1e10 near
+        # exact complementarity) can emit a non-finite Newton step AFTER
+        # the iterate has converged (reproduced at h=4/seed 0: NaN at
+        # iter 20, x stable from iter 15).  Freeze that instance at its
+        # current iterate instead of poisoning it; healthy instances in
+        # the batch are unaffected, and accuracy of the frozen one is
+        # whatever the path already reached (measured <= 2e-3 N).
+        finite = (
+            jnp.all(jnp.isfinite(dx), axis=-1)
+            & jnp.all(jnp.isfinite(dzl), axis=-1)
+            & jnp.all(jnp.isfinite(dzu), axis=-1)
+        )[..., None]
+        a = jnp.where(finite, a, 0.0)
+        dx = jnp.where(finite, dx, 0.0)
+        dsl = jnp.where(finite, dsl, 0.0)
+        dsu = jnp.where(finite, dsu, 0.0)
+        dzl = jnp.where(finite, dzl, 0.0)
+        dzu = jnp.where(finite, dzu, 0.0)
 
         return (
             PDIPState(
