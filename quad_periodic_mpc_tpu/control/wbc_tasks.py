@@ -12,7 +12,11 @@ LinkPos tasks and 4 SingleContacts.  The reference additionally ships
 - LocalPosTask    — link position RELATIVE to another frame
                     (LocalPosTask.cpp:26-77): Jt = Jc[link] - Jc[frame];
 - FixedBodyContact — 6-DoF body-pinned contact (FixedBodyContact.cpp:5-11):
-                    Jc = [I6 | 0], no friction rows (Uf = 0, ieq = 0).
+                    Jc = [I6 | 0], no friction rows (Uf = 0, ieq = 0);
+- BodyPostureTask — 6-DoF pose task (BodyPostureTask.cpp:11-95);
+- LocalRollTask   — scalar roll complement of RyRz (LocalRollTask.cpp).
+  (LocalHeadPos/LocalTailPos target Cheetah-3 head/tail hardware absent
+  on the A1 and are intentionally out of scope.)
 
 Each task constructor returns the (J, err, vel_des, cmd, jdqd) tuple the
 kin_wbc / wbic cascades consume, so the variants compose freely with the
@@ -142,3 +146,80 @@ def fixed_body_contact(batch: tuple = (), dtype=jnp.float32):
     Uf = jnp.zeros((1, 6), dtype)
     ieq = jnp.zeros((1,), dtype)
     return Jc, Jcdqd, Uf, ieq
+
+
+def body_posture_task(
+    state: fb.FBState,
+    quat_des: jnp.ndarray,           # (..., 4) wxyz
+    pos_des: jnp.ndarray,            # (..., 3)
+    vel_des: jnp.ndarray | None = None,   # (..., 6) [omega; v], body frame
+    acc_des: jnp.ndarray | None = None,
+    kp: float = 50.0,
+    kd: float = 1.0,
+):
+    """6-DoF body posture task (BodyPostureTask.cpp:11-95): orientation
+    so3 error + world position error, velocity compared in the BODY
+    frame, Jt = blkdiag(R^T, R^T) on the floating-base columns
+    (:91-92)."""
+    from quad_periodic_mpc_tpu.ops.rotations import quat_to_rotmat
+
+    dtype = state.pos.dtype
+    batch = state.pos.shape[:-1]
+    if vel_des is None:
+        vel_des = jnp.zeros(batch + (6,), dtype)
+    if acc_des is None:
+        acc_des = jnp.zeros(batch + (6,), dtype)
+    R = quat_to_rotmat(state.quat)                # body -> world
+    # reference error: quat_cmd * q^-1 (note: opposite order to RyRz)
+    from quad_periodic_mpc_tpu.estimation.orientation import quat_product
+
+    q_inv = state.quat * jnp.asarray([1.0, -1.0, -1.0, -1.0], dtype)
+    ori_err_q = quat_product(quat_des, q_inv)
+    ori_err_q = jnp.where(ori_err_q[..., 0:1] < 0, -ori_err_q, ori_err_q)
+    vec = ori_err_q[..., 1:4]
+    vn = jnp.linalg.norm(vec, axis=-1, keepdims=True)
+    angle = 2.0 * jnp.arctan2(vn, ori_err_q[..., 0:1])
+    so3 = jnp.where(vn > 1e-9, vec / jnp.maximum(vn, 1e-12) * angle, 2.0 * vec)
+
+    # curr_vel: [omega_body; R^T v_body]?  The reference leaves omega in
+    # the body frame and maps the linear part with Rot^T — but
+    # state.bodyVelocity's linear part is ALREADY body-frame, so the
+    # extra Rot^T is a reference quirk reproduced here (:50-51).
+    Rt = jnp.swapaxes(R, -1, -2)
+    v_lin = jnp.einsum("...ij,...j->...i", Rt, state.v_body[..., 3:6])
+    curr_vel = jnp.concatenate([state.v_body[..., 0:3], v_lin], axis=-1)
+
+    pos_err = pos_des - state.pos
+    err = jnp.concatenate([so3, pos_err], axis=-1)
+    cmd = kp * err + kd * (vel_des - curr_vel) + acc_des
+    J = jnp.zeros(batch + (6, N_DOF), dtype)
+    J = J.at[..., 0:3, 0:3].set(Rt)
+    J = J.at[..., 3:6, 3:6].set(Rt)
+    return J, err, vel_des, cmd, _zeros_like_batch(state, 6)
+
+
+def local_roll_task(
+    state: fb.FBState,
+    roll_des: jnp.ndarray,           # (...,)
+    vel_des: jnp.ndarray | None = None,
+    acc_des: jnp.ndarray | None = None,
+    kp: float = 350.0,
+    kd: float = 13.0,
+):
+    """Roll-only task (LocalRollTask.cpp:14-45): scalar rpy[0] error on
+    the body-frame omega_x row (Jt(0,0) = 1) — the complement of
+    BodyRyRzTask for deliberately split orientation control."""
+    from quad_periodic_mpc_tpu.ops.rotations import quat_to_rpy
+
+    dtype = state.pos.dtype
+    batch = state.pos.shape[:-1]
+    if vel_des is None:
+        vel_des = jnp.zeros(batch + (1,), dtype)
+    if acc_des is None:
+        acc_des = jnp.zeros(batch + (1,), dtype)
+    rpy = quat_to_rpy(state.quat)
+    err = (roll_des - rpy[..., 0])[..., None]     # Kp_kin = 1 (:18)
+    cmd = kp * err + kd * (vel_des - state.v_body[..., 0:1]) + acc_des
+    J = jnp.zeros(batch + (1, N_DOF), dtype)
+    J = J.at[..., 0, 0].set(1.0)
+    return J, err, vel_des, cmd, _zeros_like_batch(state, 1)

@@ -163,3 +163,30 @@ def test_variants_compose_in_wbic():
         np.asarray(fr).reshape(4, 3)[:, 2], np.asarray(fr_des)[:, 2],
         rtol=0.5,
     )
+
+
+def test_body_posture_task_six_dof():
+    st = standing_state(rpy=(0.0, 0.1, 0.0))
+    J, err, vel, cmd, _ = wbc_tasks.body_posture_task(
+        st, rpy_to_quat(jnp.zeros(3)), st.pos + jnp.asarray([0.0, 0.0, 0.02])
+    )
+    assert J.shape == (6, 18)
+    # Jt = blkdiag(R^T, R^T) on the base columns (BodyPostureTask.cpp:91-92)
+    from quad_periodic_mpc_tpu.ops.rotations import quat_to_rotmat
+    Rt = np.asarray(quat_to_rotmat(st.quat)).T
+    np.testing.assert_allclose(np.asarray(J[0:3, 0:3]), Rt, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(J[3:6, 3:6]), Rt, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(J[:, 6:]), 0.0)
+    # pitch error ~ -0.1, z error = +0.02
+    assert abs(float(err[1]) + 0.1) < 5e-3
+    np.testing.assert_allclose(float(err[5]), 0.02, atol=1e-9)
+
+
+def test_local_roll_task_scalar():
+    st = standing_state(rpy=(0.15, 0.0, 0.0))
+    J, err, vel, cmd, _ = wbc_tasks.local_roll_task(st, jnp.asarray(0.0))
+    assert J.shape == (1, 18)
+    np.testing.assert_allclose(np.asarray(J[0]), np.eye(18)[0])
+    np.testing.assert_allclose(float(err[0]), -0.15, atol=1e-7)
+    # default gains 350/13 (LocalRollTask.cpp:19-20)
+    np.testing.assert_allclose(float(cmd[0]), 350.0 * -0.15, atol=1e-4)
