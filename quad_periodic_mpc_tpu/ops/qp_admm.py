@@ -273,11 +273,28 @@ def _kkt_inverse_woodbury(
 def kkt_residuals(
     qp: QPData, x: jnp.ndarray, z: jnp.ndarray, y: jnp.ndarray
 ) -> dict[str, jnp.ndarray]:
-    """Primal/dual residual norms (per instance) for accuracy reporting."""
-    ax = con.apply(qp.F, x)
+    """Primal/dual residual norms (per instance) for accuracy reporting.
+
+    Measurement arithmetic runs at HIGHEST matmul precision: the TPU's
+    default bf16-input matmul adds O(0.4%) rounding to F u and P x,
+    which at force scale O(100 N) reads as a fictitious ~2 N "residual"
+    (measured: the same solves report primal max 2e-3 on CPU f32 but
+    ~2.0 on TPU at default precision).  The audit must not be noisier
+    than the quantity it audits.
+    """
+    hp = jax.lax.Precision.HIGHEST
+    c_dim, a_dim = qp.F.shape[-2], qp.F.shape[-1]
+    k = x.shape[-1] // a_dim
+    batch = x.shape[:-1]
+    xf = x.reshape(batch + (k, a_dim))
+    ax = jnp.einsum("ca,...ka->...kc", qp.F, xf, precision=hp)
+    ax = ax.reshape(batch + (k * c_dim,))
     r_prim = jnp.max(jnp.abs(ax - z), axis=-1)
-    px = jnp.einsum("...nm,...m->...n", qp.P, x)
-    r_dual = jnp.max(jnp.abs(px + qp.q + con.apply_T(qp.F, y)), axis=-1)
+    px = jnp.einsum("...nm,...m->...n", qp.P, x, precision=hp)
+    yf = y.reshape(batch + (k, c_dim))
+    fty = jnp.einsum("ca,...kc->...ka", qp.F, yf, precision=hp)
+    fty = fty.reshape(batch + (k * a_dim,))
+    r_dual = jnp.max(jnp.abs(px + qp.q + fty), axis=-1)
     viol = jnp.maximum(ax - qp.u, qp.l - ax)
     r_feas = jnp.max(jnp.maximum(viol, 0.0), axis=-1)
     return {"primal": r_prim, "dual": r_dual, "feas": r_feas}
