@@ -259,12 +259,18 @@ def main() -> None:
             res = None
             for _ in range(6):
                 ctrl, plant, res = audit_jit(ctrl, plant, cmd, gait, dist)
-            kp = float(jnp.max(res["primal"]))
+            prim = np.asarray(res["primal"])
+            kp = float(prim.max())
+            kp99 = float(np.percentile(prim, 99))
             kd = float(jnp.max(res["dual"]))
-            _update(kkt_primal_max=round(kp, 6), kkt_dual_max=round(kd, 6))
+            _update(kkt_primal_max=round(kp, 6),
+                    kkt_primal_p99=round(kp99, 6),
+                    kkt_dual_max=round(kd, 6))
             print(
                 f"warm-step-6 KKT residuals @ batch {best_b}: "
-                f"primal max {kp:.2e}, dual max {kd:.2e} "
+                f"primal max {kp:.2e} / p99 {kp99:.2e} / "
+                f"p50 {float(np.percentile(prim, 50)):.2e}, "
+                f"dual max {kd:.2e} "
                 f"(CPU ceilings 6e-3 / 1e-3, test_kkt_ceiling.py)",
                 file=sys.stderr, flush=True,
             )

@@ -109,6 +109,18 @@ class ADMMConfig:
     # path; the condensed Hessian's f32 range collapses past h ~ 20, which
     # is why the reference hard-caps h = 19, SolverMPC.cpp:113).
     formulation: str = "condensed"
+    # Matmul precision of the xla iteration loop's x-update GEMVs.  On
+    # TPU the f32 default routes through one bf16x bf16 pass, which
+    # perturbs the ADMM fixed point by ~1 N at force scale (measured:
+    # batch-2048 primal residual p50 ~1.0 at "default" vs 2e-3-level at
+    # "highest" — the CPU value).  The GEMV is HBM-bound, so the extra
+    # bf16 passes of "highest" are ~free; default accordingly.
+    iter_precision: str = "highest"    # "default" | "high" | "highest"
+    # Pallas kernel K^{-1} storage: bf16 doubles the VMEM-resident reach
+    # and is 1.7x faster, at a ~1-2% constraint-residual bias (visible as
+    # kkt_primal_max ~ 2 in the bench audit); set False for an f32-
+    # resident kernel when accuracy outranks throughput.
+    pallas_bf16_kinv: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

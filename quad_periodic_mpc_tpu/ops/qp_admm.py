@@ -145,7 +145,7 @@ def solve(
             qp.F.astype(jnp.float32),
             flat(warm.x), flat(warm.z), flat(warm.y),
             iters=cfg.iterations, sigma=cfg.sigma,
-            over_relax=cfg.over_relax, kinv_bf16=True,
+            over_relax=cfg.over_relax, kinv_bf16=cfg.pallas_bf16_kinv,
             interpret=jax.default_backend() == "cpu",
         )
         x_f = x_f.reshape(lead + (n,)).astype(dtype)
@@ -157,17 +157,24 @@ def solve(
     sigma = jnp.asarray(cfg.sigma, dtype)
     a = jnp.asarray(cfg.over_relax, dtype)
     rho_inv = 1.0 / rho
+    prec = {
+        "default": jax.lax.Precision.DEFAULT,
+        "high": jax.lax.Precision.HIGH,
+        "highest": jax.lax.Precision.HIGHEST,
+    }[cfg.iter_precision]
 
     def step(state, _):
         x, z, y = state
         rhs = sigma * x - qp.q + con.apply_T(qp.F, rho * z - y)
-        x_t = jnp.einsum("...nm,...m->...n", K_inv, rhs)
+        x_t = jnp.einsum("...nm,...m->...n", K_inv, rhs, precision=prec)
         # iterative refinement: one K-residual correction per iteration
         # compensates the inexact (Newton-Schulz / f32) inverse so the ADMM
         # fixed point matches the exact-solve fixed point.
         for _ in range(cfg.refine):
-            r = rhs - jnp.einsum("...nm,...m->...n", K, x_t)
-            x_t = x_t + jnp.einsum("...nm,...m->...n", K_inv, r)
+            r = rhs - jnp.einsum("...nm,...m->...n", K, x_t, precision=prec)
+            x_t = x_t + jnp.einsum(
+                "...nm,...m->...n", K_inv, r, precision=prec
+            )
         x_new = a * x_t + (1.0 - a) * x
         z_t = con.apply(qp.F, x_t)
         z_r = a * z_t + (1.0 - a) * z
