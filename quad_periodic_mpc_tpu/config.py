@@ -88,6 +88,14 @@ class ADMMConfig:
     # Pallas path, so further rounds are pure waste (closed-loop ADMM-30
     # warm still matches PDIP, test_closed_loop).
     ns_warm_iters: int = 1
+    # HIGH-precision Newton-Schulz polish rounds after the DEFAULT loop:
+    # on TPU the single-pass-bf16 NS floor is ||I - XK|| ~ 1e-2, which
+    # biases the warm ADMM fixed point by ~1-2 N at force scale (the
+    # kkt_primal_max ~ 2 the bench audit reports); 1 polish round squares
+    # it to ~1e-4 at the cost of two 3-pass GEMMs per KKT build.  0 keeps
+    # the fastest path (closed-loop validated); accuracy-first configs
+    # set 1.
+    ns_polish: int = 0
     # Per-iteration K-residual refinement of the x-update.  Measured
     # unnecessary at ns_tol <= 1e-2 (f32 solve error ~1 mN either way);
     # enable only for ill-conditioned custom weight sets.

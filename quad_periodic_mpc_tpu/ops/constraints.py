@@ -67,25 +67,28 @@ def bounds(
     return l, u
 
 
-def apply(F: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+def apply(F: jnp.ndarray, x: jnp.ndarray, precision=None) -> jnp.ndarray:
     """blockdiag(F) @ x via the block structure.
 
     F is (c, a) (e.g. the 5x3 MPC pyramid or the 6x3 WBIC cone); x is
-    (..., k*a) -> (..., k*c).
+    (..., k*a) -> (..., k*c).  precision: matmul precision of the tiny
+    contraction — pass HIGHEST inside solver iteration loops (on TPU the
+    bf16 default injects ~0.4% of |x| per product, which an ADMM fixed
+    point then inherits as a standing constraint residual).
     """
     c, a = F.shape[-2], F.shape[-1]
     batch = x.shape[:-1]
     n = x.shape[-1]
     feet = x.reshape(batch + (n // a, a))
-    out = jnp.einsum("ca,...ka->...kc", F, feet)
+    out = jnp.einsum("ca,...ka->...kc", F, feet, precision=precision)
     return out.reshape(batch + (n // a * c,))
 
 
-def apply_T(F: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+def apply_T(F: jnp.ndarray, y: jnp.ndarray, precision=None) -> jnp.ndarray:
     """blockdiag(F)^T @ y: (..., k*c) -> (..., k*a)."""
     c, a = F.shape[-2], F.shape[-1]
     batch = y.shape[:-1]
     m = y.shape[-1]
     rows = y.reshape(batch + (m // c, c))
-    out = jnp.einsum("ca,...kc->...ka", F, rows)
+    out = jnp.einsum("ca,...kc->...ka", F, rows, precision=precision)
     return out.reshape(batch + (m // c * a,))

@@ -148,6 +148,7 @@ def ns_inverse(
     X0: jnp.ndarray | None = None,
     warm_iters: int = 3,
     precision=None,
+    polish: int = 0,
 ) -> jnp.ndarray:
     """Newton-Schulz iteration for K^{-1} of a symmetric PD batch.
 
@@ -215,4 +216,12 @@ def ns_inverse(
         return mm(X, 2.0 * eye - mm(K, X)), k + 1
 
     X, _ = jax.lax.while_loop(cond, body, (X0, jnp.asarray(0)))
+    # Optional polish: extra rounds at HIGH (3-pass bf16 ~ f32-quality
+    # products).  The DEFAULT single-pass-bf16 loop stalls at
+    # ||I - XK|| ~ cond(K) * eps_bf16 ~ 1e-2 on TPU (measured; CPU f32
+    # reaches 2e-6); each polish round squares the residual down to the
+    # f32 floor (1 round: 1e-2 -> ~1e-4).
+    mh = lambda a, b: jnp.matmul(a, b, precision=jax.lax.Precision.HIGH)
+    for _ in range(polish):
+        X = mh(X, 2.0 * eye - mh(K, X))
     return X

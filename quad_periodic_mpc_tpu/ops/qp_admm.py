@@ -94,7 +94,7 @@ def build_kkt_inverse(
     """K^{-1} via the configured backend (see ADMMConfig.kkt)."""
     K = build_kkt(qp, rho, cfg)
     if cfg.kkt == "ns":
-        return linalg.ns_inverse(K, cfg.ns_iters)
+        return linalg.ns_inverse(K, cfg.ns_iters, polish=cfg.ns_polish)
     return linalg.cho_inverse(linalg.cholesky_factor(K))
 
 
@@ -165,7 +165,7 @@ def solve(
 
     def step(state, _):
         x, z, y = state
-        rhs = sigma * x - qp.q + con.apply_T(qp.F, rho * z - y)
+        rhs = sigma * x - qp.q + con.apply_T(qp.F, rho * z - y, precision=prec)
         x_t = jnp.einsum("...nm,...m->...n", K_inv, rhs, precision=prec)
         # iterative refinement: one K-residual correction per iteration
         # compensates the inexact (Newton-Schulz / f32) inverse so the ADMM
@@ -176,7 +176,7 @@ def solve(
                 "...nm,...m->...n", K_inv, r, precision=prec
             )
         x_new = a * x_t + (1.0 - a) * x
-        z_t = con.apply(qp.F, x_t)
+        z_t = con.apply(qp.F, x_t, precision=prec)
         z_r = a * z_t + (1.0 - a) * z
         z_new = jnp.clip(z_r + rho_inv * y, qp.l, qp.u)
         y_new = y + rho * (z_r - z_new)
@@ -227,7 +227,8 @@ def _kkt_inverse_woodbury(
     K0 = build_kkt(qp, rho_u, cfg)
     kinv_seed = warm.kinv if warm is not None else None
     K0_inv = linalg.ns_inverse(
-        K0, cfg.ns_iters, X0=kinv_seed, warm_iters=cfg.ns_warm_iters
+        K0, cfg.ns_iters, X0=kinv_seed, warm_iters=cfg.ns_warm_iters,
+        polish=cfg.ns_polish,
     )
     if cfg.eq_scale == 1.0:
         return K0_inv, K0_inv
