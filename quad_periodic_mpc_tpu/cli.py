@@ -106,7 +106,13 @@ def cmd_sweep(args) -> None:
     from quad_periodic_mpc_tpu.parallel import mesh as mesh_lib
     from quad_periodic_mpc_tpu.parallel.sweep import SweepSpec, run_sweep
 
-    spec = SweepSpec(phase_offsets=args.phase_offsets)
+    terrain = {}
+    if args.terrain_risers:
+        terrain = dict(
+            terrain_risers=tuple(float(v) for v in args.terrain_risers.split(",")),
+            terrain_edge_x=tuple(float(v) for v in args.terrain_edges.split(",")),
+        )
+    spec = SweepSpec(phase_offsets=args.phase_offsets, **terrain)
     mesh = mesh_lib.make_mesh() if args.shard else None
     res = run_sweep(spec, n_mpc_steps=args.mpc_steps, mesh=mesh)
     import numpy as np
@@ -176,6 +182,10 @@ def main(argv=None) -> None:
     s.add_argument("--mpc-steps", type=int, default=100)
     s.add_argument("--phase-offsets", type=int, default=4)
     s.add_argument("--shard", action="store_true")
+    s.add_argument("--terrain-risers", default="",
+                   help="comma list of doorstep heights (m) — terrain axis")
+    s.add_argument("--terrain-edges", default="0.30",
+                   help="comma list of doorstep edge positions (m)")
     s.set_defaults(fn=cmd_sweep)
 
     p = sub.add_parser("parity", help="cross-solver parity report")
