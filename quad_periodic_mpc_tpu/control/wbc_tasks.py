@@ -158,9 +158,10 @@ def body_posture_task(
     kd: float = 1.0,
 ):
     """6-DoF body posture task (BodyPostureTask.cpp:11-95): orientation
-    so3 error + world position error, velocity compared in the BODY
-    frame, Jt = blkdiag(R^T, R^T) on the floating-base columns
-    (:91-92)."""
+    so3 error + world position error, linear velocity compared in the
+    WORLD frame, Jt = blkdiag(R, R) (body->world) on the floating-base
+    columns (:91-92 — Rot.transpose() of the reference's world->body
+    quaternionToRotationMatrix)."""
     from quad_periodic_mpc_tpu.ops.rotations import quat_to_rotmat
 
     dtype = state.pos.dtype
@@ -181,20 +182,22 @@ def body_posture_task(
     angle = 2.0 * jnp.arctan2(vn, ori_err_q[..., 0:1])
     so3 = jnp.where(vn > 1e-9, vec / jnp.maximum(vn, 1e-12) * angle, 2.0 * vec)
 
-    # curr_vel: [omega_body; R^T v_body]?  The reference leaves omega in
-    # the body frame and maps the linear part with Rot^T — but
-    # state.bodyVelocity's linear part is ALREADY body-frame, so the
-    # extra Rot^T is a reference quirk reproduced here (:50-51).
-    Rt = jnp.swapaxes(R, -1, -2)
-    v_lin = jnp.einsum("...ij,...j->...i", Rt, state.v_body[..., 3:6])
+    # curr_vel: the reference leaves omega in the body frame and maps the
+    # linear part with Rot.transpose() (:50-51).  ori::
+    # quaternionToRotationMatrix returns the TRANSPOSED (world->body)
+    # matrix, so Rot^T is body->world = our R: the linear velocity is
+    # compared in the WORLD frame — the same convention as wbc.py's
+    # BodyPos task (v_world = R @ v_body).
+    v_lin = jnp.einsum("...ij,...j->...i", R, state.v_body[..., 3:6])
     curr_vel = jnp.concatenate([state.v_body[..., 0:3], v_lin], axis=-1)
 
     pos_err = pos_des - state.pos
     err = jnp.concatenate([so3, pos_err], axis=-1)
     cmd = kp * err + kd * (vel_des - curr_vel) + acc_des
+    # Jt = blkdiag(Rot^T, Rot^T) (:91-92) = blkdiag(R, R) body->world.
     J = jnp.zeros(batch + (6, N_DOF), dtype)
-    J = J.at[..., 0:3, 0:3].set(Rt)
-    J = J.at[..., 3:6, 3:6].set(Rt)
+    J = J.at[..., 0:3, 0:3].set(R)
+    J = J.at[..., 3:6, 3:6].set(R)
     return J, err, vel_des, cmd, _zeros_like_batch(state, 6)
 
 

@@ -282,9 +282,14 @@ def create_gait(gd: GaitData, next_gait: jnp.ndarray) -> GaitData:
     en = jnp.where(is_trans, 1.0, en)
     ov = jnp.where(is_trans[..., 0], 0.0, ov)
 
-    # every createGait case resets initialPhase to 0; calcAuxiliaryGaitData
-    # then re-seeds the per-foot phases from the offsets (:545-551)
-    ip = jnp.zeros_like(gd.initial_phase)
+    # every non-CUSTOM createGait case resets initialPhase to 0
+    # (calcAuxiliaryGaitData then re-seeds per-foot phases from the
+    # offsets, :545-551); the CUSTOM case never touches initialPhase, so
+    # switching to CUSTOM mid-cycle keeps the running value — zeroing it
+    # would snap phases back to the raw offsets, a discontinuity the
+    # reference does not have.
+    ip = jnp.where(is_custom[..., 0], gd.initial_phase,
+                   jnp.zeros_like(gd.initial_phase))
     phase = (ip[..., None] + off) * en
     return gd._replace(
         current_gait=gid, next_gait=gid,

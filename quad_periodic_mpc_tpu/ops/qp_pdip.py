@@ -131,6 +131,8 @@ def solve(qp: QPData, cfg: PDIPConfig) -> tuple[jnp.ndarray, PDIPState]:
         # whatever the path already reached (measured <= 2e-3 N).
         finite = (
             jnp.all(jnp.isfinite(dx), axis=-1)
+            & jnp.all(jnp.isfinite(dsl), axis=-1)
+            & jnp.all(jnp.isfinite(dsu), axis=-1)
             & jnp.all(jnp.isfinite(dzl), axis=-1)
             & jnp.all(jnp.isfinite(dzu), axis=-1)
         )[..., None]

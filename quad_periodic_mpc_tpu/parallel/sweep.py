@@ -50,6 +50,8 @@ class SweepSpec(NamedTuple):
     dist_phase: tuple = (0.0,)        # rad
     terrain_risers: tuple = ()        # m; () = flat, no heightmap
     terrain_edge_x: tuple = (0.30,)   # m, first riser position
+    terrain_tread: float = 10.0       # m (single long step by default)
+    terrain_n_steps: int = 1
     map_size: int = 48                # heightmap cells per side
     map_resolution: float = 0.04      # m / cell
     vx: float = 0.3
@@ -117,7 +119,7 @@ def build_scenarios(spec: SweepSpec, dtype=jnp.float32):
         terrain = terrain_scn.StairsTerrain(
             edge_x=jnp.asarray(edges, dtype),
             riser=jnp.asarray(risers, dtype),
-            tread=10.0, n_steps=1,
+            tread=spec.terrain_tread, n_steps=spec.terrain_n_steps,
         )
     return gait, jnp.asarray(iters, jnp.int32), dist, terrain
 
@@ -169,7 +171,11 @@ def run_sweep(
             # derive from them at trace time)
             hm = hm._replace(resolution=spec.map_resolution)
         if terrain is not None:
-            terrain = terrain._replace(tread=10.0, n_steps=1)
+            # re-pin from the spec (single source of truth with
+            # build_scenarios) — jit/sharding traced the leaves
+            terrain = terrain._replace(
+                tread=spec.terrain_tread, n_steps=spec.terrain_n_steps
+            )
         carry, trace = loop_mod.rollout(
             n_mpc_steps, plant, ctrl, cmd, gait, dist, mpc_cfg, loop_cfg,
             est_cfg, solver,

@@ -171,11 +171,13 @@ def test_body_posture_task_six_dof():
         st, rpy_to_quat(jnp.zeros(3)), st.pos + jnp.asarray([0.0, 0.0, 0.02])
     )
     assert J.shape == (6, 18)
-    # Jt = blkdiag(R^T, R^T) on the base columns (BodyPostureTask.cpp:91-92)
+    # Jt = blkdiag(Rot^T, Rot^T) (BodyPostureTask.cpp:91-92); the
+    # reference's Rot is world->body, so Rot^T = body->world = R — the
+    # same matrix the locomotion BodyOri/BodyPos tasks in wbc.py use.
     from quad_periodic_mpc_tpu.ops.rotations import quat_to_rotmat
-    Rt = np.asarray(quat_to_rotmat(st.quat)).T
-    np.testing.assert_allclose(np.asarray(J[0:3, 0:3]), Rt, atol=1e-12)
-    np.testing.assert_allclose(np.asarray(J[3:6, 3:6]), Rt, atol=1e-12)
+    R = np.asarray(quat_to_rotmat(st.quat))
+    np.testing.assert_allclose(np.asarray(J[0:3, 0:3]), R, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(J[3:6, 3:6]), R, atol=1e-12)
     np.testing.assert_allclose(np.asarray(J[:, 6:]), 0.0)
     # pitch error ~ -0.1, z error = +0.02
     assert abs(float(err[1]) + 0.1) < 5e-3
