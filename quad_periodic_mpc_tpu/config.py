@@ -111,6 +111,26 @@ class ADMMConfig:
     # Constraint-type-dependent rho scaling (OSQP "rho_eq" analog): rows
     # whose bounds pin z (l == u) get rho * eq_scale.
     eq_scale: float = 1e3
+    # How swing-pin (l == u) rows reach the x-update KKT matrix:
+    # - "uniform": plain rho everywhere — no eq bump, no correction
+    #   stage.  Under the carried (x, z, y) warm start this MEASURES
+    #   BETTER than the eq-scaled Woodbury path at ADMM-30 (primal max
+    #   1.2e-3 vs 2.0e-3, dual 2.3e-4 vs 3.1e-4, 8-step warm trot,
+    #   tools/exp_eqmode.py): the warm y rows already carry the
+    #   swing-pin duals, so the stiff-rho acceleration the reference's
+    #   variable elimination approximates is unnecessary, and the whole
+    #   low-rank restore (~8 ms/step at batch 2048) disappears.  K's
+    #   structure is gait-independent, so the warm NS seed always
+    #   contracts.
+    # - "woodbury": bounds-based eq-scaled rho in K, restored exactly
+    #   from the uniform-rho base inverse via a low-rank Woodbury
+    #   correction (round-2 production path) — faster PINNING on cold
+    #   starts, worth it for one-shot solves at high iteration counts.
+    # Rejected variants (measured, tools/exp_eqmode.py): eq-scaled rho
+    # in the z/y updates only diverges (1000x gain mismatch vs the K
+    # metric is unstable); eq-scaling the fz row of every block pins
+    # stance fz too and leaves ~100 N solution error at ADMM-30.
+    eq_mode: str = "uniform"
     # QP formulation: "condensed" (dense 12h-var QP, the reference's
     # SolverMPC shape — fastest at h <= 16) or "stagewise" (Riccati-ADMM
     # over per-stage variables, ops/qp_stagewise.py — the long-horizon

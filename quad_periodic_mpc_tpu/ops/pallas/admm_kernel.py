@@ -76,11 +76,17 @@ def _kernel(
     a = over_relax
     JB = 8
 
+    # The shared cone products run at HIGHEST matmul precision: the
+    # default bf16-input pass re-injects ~0.4% of |x| per iteration and
+    # the ADMM fixed point inherits it as a STANDING constraint residual
+    # (the xla-loop fix of ADMMConfig.iter_precision, applied in-kernel).
+    hp = jax.lax.Precision.HIGHEST
+
     def body(_, carry):
         x, z, y = carry
         w = rho * z - y
         rhs_ref[:] = sigma * x - q + jnp.dot(
-            At_ref[:], w, preferred_element_type=jnp.float32
+            At_ref[:], w, preferred_element_type=jnp.float32, precision=hp
         )
 
         # per-instance matvec on the VPU, exploiting SYMMETRY of K^{-1}
@@ -109,7 +115,9 @@ def _kernel(
             rb = rhs_ref[n - rem :, :][:, None, :]
             x_t = x_t + jnp.sum(kb * rb, axis=0)
         x_new = a * x_t + (1.0 - a) * x
-        z_t = jnp.dot(A_ref[:], x_t, preferred_element_type=jnp.float32)
+        z_t = jnp.dot(
+            A_ref[:], x_t, preferred_element_type=jnp.float32, precision=hp
+        )
         z_r = a * z_t + (1.0 - a) * z
         z_new = jnp.clip(z_r + rho_inv * y, l, u)
         y_new = y + rho * (z_r - z_new)
@@ -151,17 +159,20 @@ def fused_admm_iterations(
     accumulating the x-update in f32.
     """
     B, n = q.shape
-    C = 128 if kinv_bf16 else CHUNK
+    C = 128
     m = l.shape[-1]
     h = n // 12
     # The LANE dim pads to 128 in VMEM, so chunks below 128 lanes save
-    # nothing — always use C = 128 for bf16.  Mosaic double-buffers
-    # grid-mapped inputs; when two bf16 K^{-1} blocks don't fit the
-    # ~16 MB scoped budget (n >= ~168, i.e. h >= 14), fall back to a
-    # grid-less kernel mapped over chunks with lax.map: one block
-    # resident at a time, chunk handoff un-overlapped (a few percent
-    # slower, but it compiles at any horizon).
-    single_buffer = kinv_bf16 and (2 * n * n * C * 2 + 2_500_000 > 15_500_000)
+    # nothing — always use C = 128 (the earlier f32 CHUNK=64 layout
+    # wasted half the VPU and measured as slow as the XLA loop).  Mosaic
+    # double-buffers grid-mapped inputs; when two K^{-1} blocks don't
+    # fit the ~16 MB scoped budget (bf16 n >= ~168 i.e. h >= 14; f32
+    # n >= ~120 i.e. h >= 10), fall back to a grid-less kernel mapped
+    # over chunks with lax.map: one block resident at a time, chunk
+    # handoff un-overlapped (a few percent slower, but it compiles at
+    # any horizon).
+    kinv_bytes = 2 if kinv_bf16 else 4
+    single_buffer = 2 * n * n * C * kinv_bytes + 2_500_000 > 15_500_000
     pad = (-B) % C
     if pad:
         padv = lambda t: jnp.concatenate(

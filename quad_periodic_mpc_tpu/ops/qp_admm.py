@@ -72,6 +72,22 @@ def rho_vector(l: jnp.ndarray, u: jnp.ndarray, cfg: ADMMConfig) -> jnp.ndarray:
     return jnp.where(eq, cfg.rho * cfg.eq_scale, cfg.rho)
 
 
+def build_kkt_uniform(qp: QPData, cfg: ADMMConfig) -> jnp.ndarray:
+    """K = P + sigma I + rho blockdiag(F^T F) for UNIFORM rho.
+
+    The bump is one CONSTANT (n, n) matrix shared by every instance —
+    a single broadcast add that XLA fuses into P's producer, vs the
+    per-instance scatter-add of the general build_kkt."""
+    n = qp.P.shape[-1]
+    a = qp.F.shape[-1]
+    G = cfg.rho * jnp.einsum("ca,cb->ab", qp.F, qp.F)
+    C = cfg.sigma * jnp.eye(n, dtype=qp.P.dtype)
+    C = linalg.add_block_diag(
+        C, jnp.broadcast_to(G, (n // a,) + G.shape)
+    )
+    return qp.P + C
+
+
 def build_kkt(qp: QPData, rho: jnp.ndarray, cfg: ADMMConfig) -> jnp.ndarray:
     """K = P + sigma I + A^T diag(rho) A.
 
@@ -113,12 +129,29 @@ def solve(
     ns_warm_iters in steady state; the eq_scale rho bump is then restored
     exactly by a low-rank Woodbury correction (_kkt_inverse_woodbury).
     """
-    rho = rho_vector(qp.l, qp.u, cfg)
-    K = build_kkt(qp, rho, cfg) if (cfg.kkt != "ns" or cfg.refine) else None
-    if cfg.kkt == "ns":
+    # eq_mode (see ADMMConfig): "uniform" = plain rho everywhere, no
+    # correction stage (measured better than the eq-bump under warm
+    # starts, tools/exp_eqmode.py); "woodbury" = bounds-based eq-scaled
+    # rho restored exactly via the low-rank correction (faster pinning
+    # on cold one-shot solves).
+    if cfg.eq_mode == "uniform":
+        rho = jnp.broadcast_to(jnp.asarray(cfg.rho, qp.l.dtype), qp.l.shape)
+    else:
+        rho = rho_vector(qp.l, qp.u, cfg)
+    need_K = cfg.kkt != "ns" or cfg.refine
+    K = build_kkt(qp, rho, cfg) if need_K else None
+    if cfg.kkt != "ns":
+        K_inv = linalg.cho_inverse(linalg.cholesky_factor(K))
+        kinv_carry = K_inv
+    elif cfg.eq_mode == "woodbury":
         K_inv, kinv_carry = _kkt_inverse_woodbury(qp, rho, cfg, warm)
     else:
-        K_inv = linalg.cho_inverse(linalg.cholesky_factor(K))
+        K0 = K if need_K else build_kkt_uniform(qp, cfg)
+        K_inv = linalg.ns_inverse(
+            K0, cfg.ns_iters,
+            X0=warm.kinv if warm is not None else None,
+            warm_iters=cfg.ns_warm_iters, polish=cfg.ns_polish,
+        )
         kinv_carry = K_inv
 
     n = qp.P.shape[-1]

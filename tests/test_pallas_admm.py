@@ -19,7 +19,7 @@ def test_fused_admm_matches_xla_iteration():
         l=jnp.stack([q.l for q in qps]).astype(jnp.float32),
         u=jnp.minimum(jnp.stack([q.u for q in qps]), 1e6).astype(jnp.float32),
     )
-    cfg = ADMMConfig(iterations=50, kkt="cholesky", refine=0)
+    cfg = ADMMConfig(iterations=50, kkt="cholesky", refine=0, eq_mode="woodbury")
     rho_vec = qp_admm.rho_vector(qp.l, qp.u, cfg)
     K = qp_admm.build_kkt(qp, rho_vec, cfg)
     K_inv = linalg.cho_inverse(linalg.cholesky_factor(K.astype(jnp.float64))).astype(jnp.float32)
@@ -52,7 +52,7 @@ def test_fused_admm_bf16_single_solve_bias_bounded():
         l=jnp.stack([q.l for q in qps]).astype(jnp.float32),
         u=jnp.minimum(jnp.stack([q.u for q in qps]), 1e6).astype(jnp.float32),
     )
-    cfg = ADMMConfig(iterations=50, kkt="cholesky", refine=0)
+    cfg = ADMMConfig(iterations=50, kkt="cholesky", refine=0, eq_mode="woodbury")
     rho_vec = qp_admm.rho_vector(qp.l, qp.u, cfg)
     K = qp_admm.build_kkt(qp, rho_vec, cfg)
     K_inv = linalg.cho_inverse(
