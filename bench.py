@@ -24,8 +24,11 @@ Robustness contract (the driver runs this under `timeout` from a cold
 process): a watchdog emits the best-so-far JSON line and exits 0 when the
 QPM_BENCH_BUDGET_S budget (default 420 s) expires, measurements run
 smallest-config-first so a partial run still yields a number, and
-compiled programs persist in the repo-committed .jaxcache/ directory so a
-driver run after a pre-warmed build compiles nothing.
+compiled programs persist in the on-disk .jaxcache/ directory (untracked;
+warmed by running bench once after any code change) so a driver run after
+a pre-warmed build compiles nothing.
+
+QPM_FORCE_CPU=1 forces the CPU backend (shape/logic smoke runs in CI).
 """
 
 from __future__ import annotations
@@ -90,17 +93,22 @@ def main() -> None:
     # PDIP reference at ADMM-30 warm
     # (tests/test_closed_loop.py::test_trot_admm30_warm_matches_pdip)
     ap.add_argument("--admm-iters", type=int, default=30)
-    # xla (HIGHEST-precision loop) is the production default: 84.8k
-    # solves/s with KKT primal residual at the CPU-exact 2e-3 level.
-    # pallas (fused bf16-K^{-1} kernel) trades that for +5% throughput
-    # (89k) at a ~1-2 N standing primal residual from the bf16 storage
-    # bias — select it when raw throughput outranks the accuracy gate.
+    # xla = HIGHEST-precision lax.scan loop (accuracy-reference).
+    # pallas = fused VMEM-resident kernel; the default headline run also
+    # measures the f32-resident pallas variant with its own KKT audit
+    # (pallas_* fields) so every published number carries its gate.
     ap.add_argument("--backend", choices=["xla", "pallas"], default="xla",
-                    help="ADMM iteration-loop backend")
+                    help="ADMM iteration-loop backend for the headline")
     ap.add_argument("--no-p99", action="store_true",
                     help="skip the b=1 on-device p99 latency phase")
     ap.add_argument("--no-longhorizon", action="store_true",
                     help="skip the h=32 stagewise second metric")
+    ap.add_argument("--no-h16", action="store_true",
+                    help="skip the reference-default h=16 line")
+    ap.add_argument("--no-fullstack", action="store_true",
+                    help="skip the MPC+WBC torque-tier line")
+    ap.add_argument("--no-pallas-audit", action="store_true",
+                    help="skip the accuracy-gated pallas backend line")
     ap.add_argument("--latency", action="store_true",
                     help="also measure b=1 host-round-trip latency")
     # SURVEY.md §5 tracing analog (the reference's SHOW_MPC_SOLVE_TIME /
@@ -118,9 +126,12 @@ def main() -> None:
 
     import jax
 
-    # Persistent compile cache, committed to the repo: remote (axon)
-    # compiles cost minutes, cached re-runs cost seconds, and /tmp does
-    # not survive to the driver's process.
+    if os.environ.get("QPM_FORCE_CPU"):
+        jax.config.update("jax_platforms", "cpu")
+
+    # Persistent on-disk compile cache: remote (axon) compiles cost
+    # minutes, cached re-runs cost seconds, and /tmp does not survive to
+    # the driver's process.
     cache_dir = os.environ.get("QPM_CACHE_DIR", os.path.join(REPO, ".jaxcache"))
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
@@ -145,16 +156,29 @@ def main() -> None:
     )
     dt_mpc = loop_cfg.dt * loop_cfg.iterations_between_mpc
 
-    def make_inputs(batch: int):
+    from quad_periodic_mpc_tpu.models.a1 import A1
+    from quad_periodic_mpc_tpu.ops.rotations import quat_to_rotmat
+
+    VX = 0.3  # the trot WALKS: nonzero velocity command in the timed loop
+
+    def make_inputs(batch: int, horizon: int | None = None,
+                    formulation: str = "condensed"):
+        horizon = horizon or args.horizon
         plant = S.init_plant((batch,), body_height=0.29, dtype=dtype)
         obs = S.observe(plant)
-        ctrl = M.init_state((batch,), obs, dtype=dtype, horizon=args.horizon)
-        # spread gait phase across the batch (gait-phase sweep axis)
+        ctrl = M.init_state(
+            (batch,), obs, dtype=dtype, horizon=horizon,
+            formulation=formulation,
+        )
+        # spread gait phase across the batch (gait-phase sweep axis);
+        # start with the velocity command already filtered in so the
+        # reference trajectory walks from step one
         ctrl = ctrl._replace(
-            iteration=(jnp.arange(batch, dtype=jnp.int32) * 7) % 208
+            iteration=(jnp.arange(batch, dtype=jnp.int32) * 7) % 208,
+            x_vel_des=jnp.full((batch,), VX, dtype),
         )
         cmd = M.Command(
-            vx=jnp.zeros((batch,), dtype),
+            vx=jnp.full((batch,), VX, dtype),
             vy=jnp.zeros((batch,), dtype),
             yaw_rate=jnp.zeros((batch,), dtype),
             body_height=jnp.full((batch,), 0.29, dtype),
@@ -163,24 +187,55 @@ def main() -> None:
         dist = S.DisturbanceParams.reference((batch,), dtype=dtype)
         return ctrl, plant, cmd, gait, dist
 
-    def step(ctrl, plant, cmd, gait, dist):
-        """One MPC period: solve, then hold the first-step forces over the
-        period on the plant (the reference's zero-order hold between 38.5 Hz
-        solves) so the next observation has drifted."""
-        obs = S.observe(plant)
-        ctrl, forces = M.mpc_step(
-            ctrl, obs, cmd, gait, plant.t, mpc_cfg, loop_cfg, est_cfg, solver
-        )
-        seg = G.segment_index(gait, ctrl.iteration, loop_cfg.iterations_between_mpc)
-        stance = G.mpc_table(gait, seg, 1)[..., 0, :].astype(dtype)
-        plant = S.step(
-            plant, forces[..., 0, :, :], plant.p_feet, stance, dist,
-            mpc_cfg, dt_mpc,
-        )
-        ctrl = ctrl._replace(
-            iteration=ctrl.iteration + loop_cfg.iterations_between_mpc
-        )
-        return ctrl, plant, forces
+    hips = jnp.asarray(A1.hip_locations(), dtype)      # (4, 3) body frame
+    t_stance = 10 * dt_mpc                             # trot: 10 segments
+
+    def make_step(cfg, slv):
+        def step(ctrl, plant, cmd, gait, dist):
+            """One MPC period: solve, then hold the first-step forces over
+            the period on the plant (the reference's zero-order hold
+            between 38.5 Hz solves) so the next observation has drifted.
+            Swing feet track their hips with a half-stance Raibert lead
+            (bench-cadence stand-in for the 500 Hz swing trajectory), so
+            the walking trot keeps r_feet bounded and the gait actually
+            steps."""
+            obs = S.observe(plant)
+            ctrl = M.setup_command(ctrl, cmd, loop_cfg)
+            ctrl, forces = M.mpc_step(
+                ctrl, obs, cmd, gait, plant.t, cfg, loop_cfg, est_cfg, slv
+            )
+            seg = G.segment_index(
+                gait, ctrl.iteration, loop_cfg.iterations_between_mpc
+            )
+            stance = G.mpc_table(gait, seg, 1)[..., 0, :].astype(dtype)
+            R = quat_to_rotmat(obs.quat)
+            hip_w = obs.p[..., None, :] + jnp.einsum(
+                "...ij,...kj->...ki", R, jnp.broadcast_to(
+                    hips, obs.p_feet.shape
+                )
+            )
+            p_touch = hip_w + 0.5 * t_stance * obs.v[..., None, :]
+            p_touch = p_touch.at[..., 2].set(0.0)
+            # swing feet GLIDE toward the touchdown target (rate-limited,
+            # ~swing-foot speed x one MPC period) — the real loop moves
+            # feet continuously through the Bezier swing, and a teleport
+            # here puts a large K jump into ~10% of the batch every step,
+            # which forces the warm NS gate cold (measured +20 ms/step)
+            d = jnp.clip(p_touch - plant.p_feet, -0.04, 0.04)
+            p_feet = jnp.where(
+                stance[..., None] > 0.5, plant.p_feet, plant.p_feet + d
+            )
+            plant = S.step(
+                plant, forces[..., 0, :, :], p_feet, stance, dist,
+                cfg, dt_mpc,
+            )
+            ctrl = ctrl._replace(
+                iteration=ctrl.iteration + loop_cfg.iterations_between_mpc
+            )
+            return ctrl, plant, forces
+        return step
+
+    step = make_step(mpc_cfg, solver)
 
     # NOTE: no donate_argnums and a host-transferred checksum as the timing
     # fence — on the axon-tunneled backend, donation corrupts execution and
@@ -238,6 +293,7 @@ def main() -> None:
 
             def step_audit(ctrl, plant, cmd, gait, dist):
                 obs = S.observe(plant)
+                ctrl = M.setup_command(ctrl, cmd, loop_cfg)
                 ctrl, forces, qp = M.mpc_step(
                     ctrl, obs, cmd, gait, plant.t, mpc_cfg, loop_cfg,
                     est_cfg, solver, return_qp=True,
@@ -249,8 +305,21 @@ def main() -> None:
                     gait, ctrl.iteration, loop_cfg.iterations_between_mpc
                 )
                 stance = G.mpc_table(gait, seg, 1)[..., 0, :].astype(dtype)
+                R = quat_to_rotmat(obs.quat)
+                hip_w = obs.p[..., None, :] + jnp.einsum(
+                    "...ij,...kj->...ki", R, jnp.broadcast_to(
+                        hips, obs.p_feet.shape
+                    )
+                )
+                p_touch = hip_w + 0.5 * t_stance * obs.v[..., None, :]
+                p_touch = p_touch.at[..., 2].set(0.0)
+                d = jnp.clip(p_touch - plant.p_feet, -0.04, 0.04)
+                p_feet = jnp.where(
+                    stance[..., None] > 0.5, plant.p_feet,
+                    plant.p_feet + d
+                )
                 plant = S.step(
-                    plant, forces[..., 0, :, :], plant.p_feet, stance,
+                    plant, forces[..., 0, :, :], p_feet, stance,
                     dist, mpc_cfg, dt_mpc,
                 )
                 ctrl = ctrl._replace(
@@ -357,48 +426,10 @@ def main() -> None:
             lh_solver = ADMMConfig(
                 iterations=args.admm_iters, formulation="stagewise"
             )
-
-            def make_lh(batch: int):
-                plant = S.init_plant((batch,), body_height=0.29, dtype=dtype)
-                obs = S.observe(plant)
-                ctrl = M.init_state(
-                    (batch,), obs, dtype=dtype, horizon=lh_h,
-                    formulation="stagewise",
-                )
-                ctrl = ctrl._replace(
-                    iteration=(jnp.arange(batch, dtype=jnp.int32) * 7) % 208
-                )
-                cmd = M.Command(
-                    vx=jnp.zeros((batch,), dtype),
-                    vy=jnp.zeros((batch,), dtype),
-                    yaw_rate=jnp.zeros((batch,), dtype),
-                    body_height=jnp.full((batch,), 0.29, dtype),
-                )
-                gait = G.preset("trotting")
-                dist = S.DisturbanceParams.reference((batch,), dtype=dtype)
-                return ctrl, plant, cmd, gait, dist
-
-            def lh_step(ctrl, plant, cmd, gait, dist):
-                obs = S.observe(plant)
-                ctrl, forces = M.mpc_step(
-                    ctrl, obs, cmd, gait, plant.t, lh_cfg, loop_cfg,
-                    est_cfg, lh_solver,
-                )
-                seg = G.segment_index(
-                    gait, ctrl.iteration, loop_cfg.iterations_between_mpc
-                )
-                stance = G.mpc_table(gait, seg, 1)[..., 0, :].astype(dtype)
-                plant = S.step(
-                    plant, forces[..., 0, :, :], plant.p_feet, stance,
-                    dist, lh_cfg, dt_mpc,
-                )
-                ctrl = ctrl._replace(
-                    iteration=ctrl.iteration + loop_cfg.iterations_between_mpc
-                )
-                return ctrl, plant, forces
-
-            lh_jit = jax.jit(lh_step)
-            ctrl, plant, cmd, gait, dist = make_lh(lh_b)
+            lh_jit = jax.jit(make_step(lh_cfg, lh_solver))
+            ctrl, plant, cmd, gait, dist = make_inputs(
+                lh_b, horizon=lh_h, formulation="stagewise"
+            )
             ctrl, plant, f = lh_jit(ctrl, plant, cmd, gait, dist)
             float(jnp.sum(f))
             n = max(args.iters // 2, 5)
@@ -417,6 +448,181 @@ def main() -> None:
                 )
         except Exception as e:
             print(f"long-horizon phase failed: {type(e).__name__}: {e}",
+                  file=sys.stderr, flush=True)
+
+    # ---- reference-default operating point: h=16 (ros_config.yaml:93,
+    # ConvexMPCLocomotion.cpp:14), same plant-stepped methodology ----
+    if not args.no_h16:
+        try:
+            h16_b = 1024
+            h16_cfg = MPCConfig(horizon=16)
+            h16_jit = jax.jit(make_step(h16_cfg, solver))
+            ctrl, plant, cmd, gait, dist = make_inputs(h16_b, horizon=16)
+            ctrl, plant, f = h16_jit(ctrl, plant, cmd, gait, dist)
+            float(jnp.sum(f))
+            n = max(args.iters // 2, 5)
+            t0 = time.perf_counter()
+            for _ in range(n):
+                ctrl, plant, f = h16_jit(ctrl, plant, cmd, gait, dist)
+            checksum = float(jnp.sum(f))
+            dt = time.perf_counter() - t0
+            if np.isfinite(checksum):
+                sps16 = h16_b * n / dt
+                _update(h16_solves_per_s=round(sps16, 1))
+                print(
+                    f"h=16 condensed end-to-end: {sps16:,.0f} solves/s "
+                    f"@ batch {h16_b} ({dt / n * 1e3:.1f} ms/step)",
+                    file=sys.stderr, flush=True,
+                )
+        except Exception as e:
+            print(f"h16 phase failed: {type(e).__name__}: {e}",
+                  file=sys.stderr, flush=True)
+
+    # ---- accuracy-gated pallas backend line (f32-resident K^{-1},
+    # HIGHEST in-kernel cone products) at the headline batch ----
+    if not args.no_pallas_audit and best_b and args.solver == "admm":
+        try:
+            from quad_periodic_mpc_tpu.ops import qp_admm as _qa
+
+            pl_solver = ADMMConfig(
+                iterations=args.admm_iters, backend="pallas",
+                pallas_bf16_kinv=False,
+            )
+            pl_jit = jax.jit(make_step(mpc_cfg, pl_solver))
+            ctrl, plant, cmd, gait, dist = make_inputs(best_b)
+            ctrl, plant, f = pl_jit(ctrl, plant, cmd, gait, dist)
+            float(jnp.sum(f))
+            n = args.iters
+            t0 = time.perf_counter()
+            for _ in range(n):
+                ctrl, plant, f = pl_jit(ctrl, plant, cmd, gait, dist)
+            checksum = float(jnp.sum(f))
+            dt = time.perf_counter() - t0
+            if np.isfinite(checksum):
+                sps_pl = best_b * n / dt
+                _update(pallas_solves_per_s=round(sps_pl, 1))
+                print(
+                    f"pallas f32-resident: {sps_pl:,.0f} solves/s "
+                    f"@ batch {best_b} ({dt / n * 1e3:.1f} ms/step)",
+                    file=sys.stderr, flush=True,
+                )
+
+            # audit the pallas production path with the same KKT hook
+            def pl_audit(ctrl, plant, cmd, gait, dist):
+                obs = S.observe(plant)
+                ctrl = M.setup_command(ctrl, cmd, loop_cfg)
+                ctrl, forces, qp = M.mpc_step(
+                    ctrl, obs, cmd, gait, plant.t, mpc_cfg, loop_cfg,
+                    est_cfg, pl_solver, return_qp=True,
+                )
+                res = _qa.kkt_residuals(
+                    qp, ctrl.warm_x, ctrl.warm_z, ctrl.warm_y
+                )
+                seg = G.segment_index(
+                    gait, ctrl.iteration, loop_cfg.iterations_between_mpc
+                )
+                stance = G.mpc_table(gait, seg, 1)[..., 0, :].astype(dtype)
+                plant = S.step(
+                    plant, forces[..., 0, :, :], plant.p_feet, stance,
+                    dist, mpc_cfg, dt_mpc,
+                )
+                ctrl = ctrl._replace(
+                    iteration=ctrl.iteration + loop_cfg.iterations_between_mpc
+                )
+                return ctrl, plant, res
+
+            pl_audit_jit = jax.jit(pl_audit)
+            ctrl, plant, cmd, gait, dist = make_inputs(best_b)
+            res = None
+            for _ in range(6):
+                ctrl, plant, res = pl_audit_jit(ctrl, plant, cmd, gait, dist)
+            pkp = float(jnp.max(res["primal"]))
+            pkd = float(jnp.max(res["dual"]))
+            _update(pallas_kkt_primal_max=round(pkp, 6),
+                    pallas_kkt_dual_max=round(pkd, 6))
+            print(
+                f"pallas f32 warm-step-6 KKT: primal max {pkp:.2e}, "
+                f"dual max {pkd:.2e} (gate 6e-3)",
+                file=sys.stderr, flush=True,
+            )
+        except Exception as e:
+            print(f"pallas phase failed: {type(e).__name__}: {e}",
+                  file=sys.stderr, flush=True)
+
+    # ---- full-stack torque tier: MPC + KinWBC/WBIC + leg torques on the
+    # articulated plant (WBC_Ctrl.cpp:60-205 analog), batched ----
+    if not args.no_fullstack:
+        try:
+            from quad_periodic_mpc_tpu.control import full_stack as FS
+            from quad_periodic_mpc_tpu.models import floating_base as fb
+            from quad_periodic_mpc_tpu.sim import articulated_sim as art
+
+            fs_b = 256
+            MC = fb.build_a1_constants("float32")
+            P = fb.A1ModelParams()
+            m_tot = P.body_mass + 4 * (
+                P.abad_mass + P.hip_mass + P.knee_mass + 3 * P.rotor_mass
+            )
+            fs_cfg = MPCConfig(
+                horizon=10, mass=float(m_tot),
+                inertia_body=(0.12, 0.45, 0.42),
+            )
+            fs_solver = ADMMConfig(iterations=args.admm_iters)
+            plant = art.init_on_ground(
+                (fs_b,), penetration=3.8e-3, dtype=dtype
+            )
+            obs0, _, _ = FS.observe_plant(plant, MC)
+            fs_ctrl = M.init_state((fs_b,), obs0, dtype=dtype)
+            z0 = plant.fb.pos[..., 2]
+            fs_cmd = M.Command(
+                vx=jnp.full((fs_b,), 0.15, dtype),
+                vy=jnp.zeros((fs_b,), dtype),
+                yaw_rate=jnp.zeros((fs_b,), dtype),
+                body_height=z0,
+            )
+            fs_gait = G.preset("trotting")
+
+            def fs_period(plant, ctrl):
+                carry, _ = FS.rollout_articulated(
+                    1, plant, ctrl, fs_cmd, fs_gait, MC, mpc_cfg=fs_cfg,
+                    solver=fs_solver, use_wbc=True, substeps=10,
+                )
+                return carry.plant, carry.ctrl
+
+            fs_jit = jax.jit(fs_period)
+            plant, fs_ctrl = fs_jit(plant, fs_ctrl)
+            float(jnp.sum(plant.fb.pos))
+            n = 10
+            times = []
+            t0 = time.perf_counter()
+            for _ in range(n):
+                t1 = time.perf_counter()
+                plant, fs_ctrl = fs_jit(plant, fs_ctrl)
+                float(jnp.sum(plant.fb.pos))   # per-dispatch fence
+                times.append(time.perf_counter() - t1)
+            dt = time.perf_counter() - t0
+            checksum = float(jnp.sum(plant.fb.pos))
+            if np.isfinite(checksum):
+                # one "solve" = one full MPC period of the torque stack:
+                # 1 MPC solve + 13 WBC (KinWBC+WBIC) ticks + 130 plant
+                # substeps per instance
+                fs_sps = fs_b * n / dt
+                tick_ms = np.asarray(times) * 1e3 / 13.0
+                _update(
+                    fullstack_solves_per_s=round(fs_sps, 1),
+                    fullstack_tick_p99_ms=round(
+                        float(np.percentile(tick_ms, 99)), 4
+                    ),
+                )
+                print(
+                    f"full-stack (MPC+WBC+torques): {fs_sps:,.0f} "
+                    f"periods/s @ batch {fs_b} "
+                    f"({dt / n * 1e3:.1f} ms/period, batched tick p99 "
+                    f"{float(np.percentile(tick_ms, 99)):.2f} ms)",
+                    file=sys.stderr, flush=True,
+                )
+        except Exception as e:
+            print(f"fullstack phase failed: {type(e).__name__}: {e}",
                   file=sys.stderr, flush=True)
 
     if args.profile:

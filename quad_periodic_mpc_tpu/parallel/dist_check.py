@@ -36,6 +36,9 @@ def main(argv=None) -> dict:
     ap.add_argument("--local-devices", type=int, default=4)
     ap.add_argument("--steps", type=int, default=4)
     ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--weak-scaling", action="store_true",
+                    help="also run measure_weak_scaling on the global "
+                         "(possibly multi-process Gloo) mesh")
     args = ap.parse_args(argv)
 
     flags = os.environ.get("XLA_FLAGS", "")
@@ -141,6 +144,53 @@ def main(argv=None) -> dict:
         "best_instance": int(best),
         "checksum": float(checksum),
     }
+
+    if args.weak_scaling:
+        # measure_weak_scaling executed over the GLOBAL mesh — when this
+        # worker runs under a 2-process jax.distributed runtime the step
+        # dispatches through cross-process Gloo collectives: the
+        # multi-process execution record for the scaling harness
+        # (BASELINE.md row 3 mechanism; real efficiency numbers need
+        # real multi-host hardware).
+        from quad_periodic_mpc_tpu.parallel.scaling import (
+            measure_weak_scaling,
+        )
+
+        def make_inputs(batch):
+            p = srb_sim.init_plant((batch,), body_height=0.29, dtype=dtype)
+            o = srb_sim.observe(p)
+            c = mpc_mod.init_state(
+                (batch,), o, dtype=dtype, horizon=mpc_cfg.horizon
+            )
+            cm = mpc_mod.Command(
+                vx=jnp.full((batch,), 0.3, dtype),
+                vy=jnp.zeros((batch,), dtype),
+                yaw_rate=jnp.zeros((batch,), dtype),
+                body_height=jnp.full((batch,), 0.29, dtype),
+            )
+            g = sweep_lib.build_scenarios(
+                sweep_lib.SweepSpec(
+                    gait_names=("trotting",), phase_offsets=batch
+                ),
+                dtype,
+            )[0]
+            return c, o, cm, g, p.t
+
+        def ws_step(ctrl, obs, cmd, gait, t):
+            ctrl, forces = mpc_mod.mpc_step(
+                ctrl, obs, cmd, gait, t, mpc_cfg, loop_cfg, est_cfg, solver
+            )
+            return jnp.sum(forces)
+
+        ws = measure_weak_scaling(
+            make_inputs, ws_step, per_device=4,
+            device_counts=[jax.device_count()], reps=3,
+        )
+        result["weak_scaling"] = {
+            str(k): {"throughput": v["throughput"],
+                     "efficiency": v["efficiency"]}
+            for k, v in ws.items()
+        }
     print(json.dumps(result), flush=True)
     return result
 

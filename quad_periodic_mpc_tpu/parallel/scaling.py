@@ -75,9 +75,10 @@ def measure_weak_scaling(
         dt = (time.perf_counter() - t0) / reps
         thr = batch / dt
         if base is None:
-            base = thr
+            base = thr / k            # per-device throughput at the
+            # first measured count (k=1 in the standard sweep)
         results[k] = {
             "throughput": thr,
-            "efficiency": thr / (base * k),
+            "efficiency": (thr / k) / base,
         }
     return results

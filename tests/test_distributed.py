@@ -44,7 +44,7 @@ def _run(args, timeout=600):
     return json.loads(line)
 
 
-def test_two_process_sharded_sweep_matches_single_process():
+def _spawn_two(extra=()):
     port = _free_port()
     coord = f"localhost:{port}"
     procs = []
@@ -54,10 +54,15 @@ def test_two_process_sharded_sweep_matches_single_process():
             [sys.executable, "-m",
              "quad_periodic_mpc_tpu.parallel.dist_check",
              "--coordinator", coord, "--num-processes", "2",
-             "--process-id", str(pid)],
+             "--process-id", str(pid), *extra],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
             cwd=REPO, env=env,
         ))
+    return procs
+
+
+def test_two_process_sharded_sweep_matches_single_process():
+    procs = _spawn_two()
     results = []
     for p in procs:
         out, err = p.communicate(timeout=600)
@@ -80,3 +85,21 @@ def test_two_process_sharded_sweep_matches_single_process():
     )
     assert r0["best_instance"] == oracle["best_instance"]
     np.testing.assert_allclose(r0["checksum"], oracle["checksum"], rtol=1e-4)
+
+
+def test_two_process_weak_scaling_record():
+    """measure_weak_scaling executes over the 2-process Gloo mesh — the
+    multi-process execution record for the scaling harness (mechanism;
+    real efficiency needs real multi-host hardware)."""
+    procs = _spawn_two(["--weak-scaling"])
+    results = []
+    for p in procs:
+        out, err = p.communicate(timeout=600)
+        assert p.returncode == 0, err[-3000:]
+        line = [l for l in out.splitlines() if l.startswith("{")][-1]
+        results.append(json.loads(line))
+    for r in results:
+        assert r["global_devices"] == 8
+        ws = r["weak_scaling"]["8"]
+        assert ws["throughput"] > 0
+        assert ws["efficiency"] == 1.0  # single-point record, base = itself
