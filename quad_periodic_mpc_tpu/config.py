@@ -131,6 +131,21 @@ class ADMMConfig:
     # metric is unstable); eq-scaling the fz row of every block pins
     # stance fz too and leaves ~100 N solution error at ADMM-30.
     eq_mode: str = "uniform"
+    # NS escalation policy for non-contractive warm K^{-1} seeds:
+    # - "bucket": one warm round for all + a top-(B/4) cold restart of
+    #   the worst seeds at fractional cost (lax.cond full-batch fallback
+    #   when more than B/4 jump, e.g. the all-cold first step).  The
+    #   walking workload jumps ~12.5% of instances per step
+    #   (tools/probe_ns_gate.py); the old "global" policy escalated the
+    #   whole batch to the cold path whenever ONE instance jumped.
+    # - "global": the binary all-or-nothing gate (ns_warm_iters vs
+    #   ns_iters), kept for non-flat batches and as the conservative
+    #   reference.
+    ns_escalate: str = "bucket"
+    # Cold NS rounds in the bucket (and its fallback): cold NS reaches
+    # its residual floor in 9-10 rounds on the condensed-MPC family
+    # (cond(K) ~ 46, tools/exp_ns_design.py); 12 adds margin.
+    ns_cold_iters: int = 12
     # QP formulation: "condensed" (dense 12h-var QP, the reference's
     # SolverMPC shape — fastest at h <= 16) or "stagewise" (Riccati-ADMM
     # over per-stage variables, ops/qp_stagewise.py — the long-horizon

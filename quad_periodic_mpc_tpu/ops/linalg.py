@@ -225,3 +225,82 @@ def ns_inverse(
     for _ in range(polish):
         X = mh(X, 2.0 * eye - mh(K, X))
     return X
+
+
+def ns_inverse_bucket(
+    K: jnp.ndarray,
+    X0: jnp.ndarray,
+    warm_iters: int = 1,
+    cold_iters: int = 12,
+    bucket_frac: int = 4,
+    polish: int = 0,
+) -> jnp.ndarray:
+    """NS inverse with TOP-K cold-restart escalation.
+
+    The walking workload's datum (tools/probe_ns_gate.py, batch 2048
+    trot at vx = 0.3): every MPC step ~12.5% of instances carry a
+    NON-contractive warm seed (||I - X0 K||_inf up to ~6 — cond(K) ~ 46
+    times a ~10% relative K drift from the feet that moved that step),
+    while the rest sit at the bf16 seed floor ~0.5.  ns_inverse's global
+    binary gate escalates the WHOLE batch to the cold path whenever one
+    instance jumps — ~26 ms/step at batch 2048 for work only 1/8 of the
+    batch needs.  Cold NS itself reaches its residual floor in 9-10
+    rounds on this family (cond ~ 46, tools/exp_ns_design.py), so the
+    escalation here is: one warm round for everyone (the seed-product
+    GEMM doubling as round 1), then a k = B/bucket_frac TOP-K gather of
+    the worst seed residuals restarted cold for `cold_iters` rounds at
+    k/B of the full-batch cost, scattered back.  When MORE than k seeds
+    are non-contractive (the all-cold first step), a lax.cond falls back
+    to continuing the full batch — every instance still gets >=
+    cold_iters rounds from a contractive seed in that branch.
+
+    K, X0: (B, n, n) flat-batched.  Returns X ~ K^{-1} with the same
+    floor as ns_inverse; cost ~ (warm_iters + cold_iters/bucket_frac)
+    full-batch NS rounds in steady state.
+    """
+    B, n = K.shape[0], K.shape[-1]
+    k = max(B // bucket_frac, 1)
+    precision = (
+        jax.lax.Precision.HIGHEST if n >= 200 else jax.lax.Precision.DEFAULT
+    )
+    mm = lambda a, b: jnp.matmul(a, b, precision=precision)
+    eye = jnp.eye(n, dtype=K.dtype)
+    norminf = jnp.max(jnp.sum(jnp.abs(K), axis=-1), axis=-1)
+    X_cold = jnp.broadcast_to(eye, K.shape) / norminf[..., None, None]
+
+    # seed gate (one GEMM, reused as warm round 1 — see ns_inverse)
+    M = mm(X0, K)
+    r = jnp.max(jnp.sum(jnp.abs(eye - M), axis=-1), axis=-1)
+    contractive = r < 0.9
+    c = contractive[..., None, None]
+    X = jnp.where(c, X0, X_cold)
+    M = jnp.where(c, M, K / norminf[..., None, None])
+    X = mm(2.0 * eye - M, X)
+    for _ in range(warm_iters - 1):
+        X = mm(X, 2.0 * eye - mm(K, X))
+
+    def run_ns(Kb, Xb, iters):
+        def body(_, Xc):
+            return mm(Xc, 2.0 * eye - mm(Kb, Xc))
+        return jax.lax.fori_loop(0, iters, body, Xb)
+
+    def bucket_path(X):
+        _, idx = jax.lax.top_k(r, k)
+        Ksub = jnp.take(K, idx, axis=0)
+        Xsub = jnp.broadcast_to(eye, Ksub.shape) / jnp.take(
+            norminf, idx, axis=0
+        )[..., None, None]
+        Xsub = run_ns(Ksub, Xsub, cold_iters)
+        return X.at[idx].set(Xsub)
+
+    def global_path(X):
+        # all-cold branch (first step): everyone continues from the
+        # gated seed; the cold-seeded majority reaches cold_iters total
+        return run_ns(K, X, max(cold_iters - warm_iters, 0))
+
+    n_bad = jnp.sum(~contractive)
+    X = jax.lax.cond(n_bad <= k, bucket_path, global_path, X)
+    mh = lambda a, b: jnp.matmul(a, b, precision=jax.lax.Precision.HIGH)
+    for _ in range(polish):
+        X = mh(X, 2.0 * eye - mh(K, X))
+    return X

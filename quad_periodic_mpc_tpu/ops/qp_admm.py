@@ -147,11 +147,23 @@ def solve(
         K_inv, kinv_carry = _kkt_inverse_woodbury(qp, rho, cfg, warm)
     else:
         K0 = K if need_K else build_kkt_uniform(qp, cfg)
-        K_inv = linalg.ns_inverse(
-            K0, cfg.ns_iters,
-            X0=warm.kinv if warm is not None else None,
-            warm_iters=cfg.ns_warm_iters, polish=cfg.ns_polish,
-        )
+        lead = K0.shape[:-2]
+        # bucket escalation needs a flat batch for the top-k gather;
+        # reshape multi-dim sweep batches through it
+        if cfg.ns_escalate == "bucket" and warm is not None and len(lead) >= 1:
+            n = K0.shape[-1]
+            Kf = K0.reshape((-1, n, n))
+            X0f = warm.kinv.reshape((-1, n, n))
+            K_inv = linalg.ns_inverse_bucket(
+                Kf, X0f, warm_iters=cfg.ns_warm_iters,
+                cold_iters=cfg.ns_cold_iters, polish=cfg.ns_polish,
+            ).reshape(K0.shape)
+        else:
+            K_inv = linalg.ns_inverse(
+                K0, cfg.ns_iters,
+                X0=warm.kinv if warm is not None else None,
+                warm_iters=cfg.ns_warm_iters, polish=cfg.ns_polish,
+            )
         kinv_carry = K_inv
 
     n = qp.P.shape[-1]

@@ -149,6 +149,57 @@ def main() -> None:
 
         fence(est_update, f"estimator update ({mode})", est, t, f_ext)
 
+    # ---- per-tick hot path beyond the solver (SURVEY §3.2): the
+    # 18/28 position-velocity KF and the KinWBC+WBIC cascade ----
+    from quad_periodic_mpc_tpu.control import wbc as wbc_mod
+    from quad_periodic_mpc_tpu.estimation import kf as kf_mod
+    from quad_periodic_mpc_tpu.models import floating_base as fb
+    from quad_periodic_mpc_tpu.sim import articulated_sim as art
+
+    kf_params = kf_mod.KFParams()
+    kf_state = kf_mod.init((B,), dtype=dtype)
+    R_body = jnp.broadcast_to(jnp.eye(3, dtype=dtype), (B, 3, 3))
+    a_world = jnp.zeros((B, 3), dtype)
+    omega_b = jnp.zeros((B, 3), dtype)
+    p_rel = jnp.broadcast_to(
+        jnp.asarray(
+            [[0.18, -0.13, -0.29], [0.18, 0.13, -0.29],
+             [-0.18, -0.13, -0.29], [-0.18, 0.13, -0.29]], dtype
+        ), (B, 4, 3),
+    )
+    v_rel = jnp.zeros((B, 4, 3), dtype)
+    phase = jnp.broadcast_to(jnp.asarray([0.5, 0.0, 0.0, 0.5], dtype), (B, 4))
+
+    def kf_tick(st, a, Rb, om, pr, vr, ph):
+        return kf_mod.update(st, a, Rb, om, pr, vr, ph, kf_params)
+
+    fence(kf_tick, "KF update (18/28 LinearKF)",
+          kf_state, a_world, R_body, omega_b, p_rel, v_rel, phase)
+
+    wb = min(B, 256)  # WBC runs at the torque tier's batch
+    mc = fb.build_a1_constants("float32")
+    aplant = art.init_on_ground((wb,), penetration=3.8e-3, dtype=dtype)
+    fbs = aplant.fb
+    winp = wbc_mod.WBCInput(
+        p_body_des=fbs.pos,
+        v_body_des=jnp.zeros((wb, 3), dtype),
+        a_body_des=jnp.zeros((wb, 3), dtype),
+        rpy_des=jnp.zeros((wb, 3), dtype),
+        omega_des=jnp.zeros((wb, 3), dtype),
+        p_foot_des=fb.contact_jacobians(fbs, mc).p_foot,
+        v_foot_des=jnp.zeros((wb, 4, 3), dtype),
+        a_foot_des=jnp.zeros((wb, 4, 3), dtype),
+        fr_des=jnp.broadcast_to(
+            jnp.asarray([0.0, 0.0, 30.0], dtype), (wb, 4, 3)
+        ),
+        contact_state=jnp.ones((wb, 4), dtype),
+    )
+
+    def wbc_tick(fbs, winp):
+        return wbc_mod.run(fbs, winp, mc)
+
+    fence(wbc_tick, f"WBC run (KinWBC+WBIC, batch {wb})", fbs, winp)
+
     # full production step
     for backend in ("pallas",):
         solver = ADMMConfig(iterations=args.admm_iters, backend=backend)
