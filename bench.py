@@ -390,11 +390,19 @@ def main() -> None:
         try:
             K = 64
             ctrl, plant, cmd, gait, dist = make_inputs(1)
+            # b=1 runs the XLA loop regardless of the headline backend:
+            # the pallas kernel pads one instance to 128 lanes (batch-
+            # throughput layout), measured ~0.10 ms/step slower here
+            b1_solver = (
+                ADMMConfig(iterations=args.admm_iters, backend="xla")
+                if args.solver == "admm" else solver
+            )
+            b1_step = make_step(mpc_cfg, b1_solver)
 
             def chain(ctrl, plant, cmd, gait, dist):
                 def body(c, _):
                     ctrl, plant = c
-                    ctrl, plant, f = step(ctrl, plant, cmd, gait, dist)
+                    ctrl, plant, f = b1_step(ctrl, plant, cmd, gait, dist)
                     return (ctrl, plant), jnp.sum(f)
                 c, s = jax.lax.scan(body, (ctrl, plant), None, length=K)
                 return jnp.sum(s)

@@ -173,6 +173,12 @@ class PDIPConfig:
     iterations: int = 25
     tau: float = 0.995         # fraction-to-boundary
     reg: float = 1e-9
+    # Newton-step linear solver: "cholesky" (factored solve — best f32
+    # constants near the barrier's cond ~1e8-1e10 endgame, the MPC-size
+    # default) or "spd" (linalg.spd_inverse Schur-recursion GEMMs — no
+    # tiny batched-Cholesky dispatch, the right choice for SMALL KKT
+    # systems like the 12-var WBIC relaxation QP).
+    kkt: str = "cholesky"
     # Barrier floor: with a FIXED iteration count the central path must not
     # collapse to exact complementarity (slacks -> 0 -> division blowup);
     # mu is held at >= mu_min.  1e-10 bounds the complementarity-induced

@@ -36,7 +36,7 @@ import jax.numpy as jnp
 
 from quad_periodic_mpc_tpu.config import PDIPConfig
 from quad_periodic_mpc_tpu.models import floating_base as fb
-from quad_periodic_mpc_tpu.ops import qp_pdip
+from quad_periodic_mpc_tpu.ops import linalg, qp_pdip
 from quad_periodic_mpc_tpu.ops.qp_admm import QPData
 from quad_periodic_mpc_tpu.ops.rotations import quat_to_rotmat, rpy_to_quat
 
@@ -99,7 +99,8 @@ def _damped_pinv(J: jnp.ndarray, damping: float) -> jnp.ndarray:
     tasks) drop out exactly."""
     m = J.shape[-2]
     JJt = J @ jnp.swapaxes(J, -1, -2) + damping * jnp.eye(m, dtype=J.dtype)
-    return jnp.swapaxes(J, -1, -2) @ jnp.linalg.inv(JJt)
+    # linalg.spd_inverse: XLA's tiny batched LU is the TPU pathology
+    return jnp.swapaxes(J, -1, -2) @ linalg.spd_inverse(JJt)
 
 
 def _weighted_pinv(J: jnp.ndarray, Ainv: jnp.ndarray, damping: float) -> jnp.ndarray:
@@ -108,7 +109,7 @@ def _weighted_pinv(J: jnp.ndarray, Ainv: jnp.ndarray, damping: float) -> jnp.nda
     m = J.shape[-2]
     AiJt = Ainv @ jnp.swapaxes(J, -1, -2)
     JAiJt = J @ AiJt + damping * jnp.eye(m, dtype=J.dtype)
-    return AiJt @ jnp.linalg.inv(JAiJt)
+    return AiJt @ linalg.spd_inverse(JAiJt)
 
 
 def _cone_block(mu: float, dtype) -> jnp.ndarray:
@@ -268,7 +269,7 @@ def wbic(
     fr_des_masked: jnp.ndarray,
     contact_mask: jnp.ndarray,
     gains: WBCGains,
-    pdip: PDIPConfig = PDIPConfig(iterations=20),
+    pdip: PDIPConfig = PDIPConfig(iterations=20, kkt="spd"),
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """WBIC::MakeTorque (WBIC.cpp:17-135).
 
@@ -307,7 +308,7 @@ def wbic(
         - jnp.einsum("...ji,...j->...i", Jc, fr_des)
     )[..., 0:6]
     A_ff = A[..., 0:6, 0:6]
-    A_ff_inv = jnp.linalg.inv(A_ff)
+    A_ff_inv = linalg.spd_inverse(A_ff)
     JcfT = jnp.swapaxes(Jc, -1, -2)[..., 0:6, :]     # (..., 6, 12)
 
     # z_f(dF) = A_ff_inv (resid + JcfT dF) = z0 + M dF
@@ -355,14 +356,14 @@ def run(
     inp: WBCInput,
     mc: fb.ModelConstants,
     gains: WBCGains = WBCGains(),
-    pdip: PDIPConfig = PDIPConfig(iterations=20),
+    pdip: PDIPConfig = PDIPConfig(iterations=20, kkt="spd"),
 ) -> WBCOutput:
     """Full WBC step (WBC_Ctrl::run, WBC_Ctrl.cpp:71-116)."""
     dtype = state.pos.dtype
     A = fb.mass_matrix(state, mc)
     grav = fb.generalized_gravity(state, mc)
     cori = fb.generalized_coriolis(state, mc)
-    Ainv = jnp.linalg.inv(A)
+    Ainv = linalg.spd_inverse(A)   # 18x18 SPD mass matrix
     contact = fb.contact_jacobians(state, mc)
 
     contact_mask = (inp.contact_state > 0.0).astype(dtype)

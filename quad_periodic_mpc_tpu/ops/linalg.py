@@ -227,6 +227,86 @@ def ns_inverse(
     return X
 
 
+def spd_inverse(M: jnp.ndarray) -> jnp.ndarray:
+    """Exact batched inverse of a small SPD matrix via recursive Schur
+    complements — pure (HIGHEST-precision) GEMMs + a 3x3 Cramer base
+    case, i.e. block Cholesky without the triangular solves.
+
+    XLA's batched LU/Cholesky on tiny matrices is the single worst
+    pattern on TPU (measured: 18.5 ms for one batch-2048 KF update, a
+    ~2 ms 3x3 inverse in the SRB build, 31 ms for a (2048,120,120)
+    Cholesky) — every such site in the per-tick path (KF innovation
+    28x28, WBC mass matrix 18x18, WBIC floating block 6x6, task pinv
+    Gram m x m, articulated-sim solve 18x18) routes here instead.
+
+      M = [[A, B], [B^T, D]],  S = D - B^T A^{-1} B  (SPD),
+      M^{-1} = [[A^{-1} + W S^{-1} W^T, -W S^{-1}],
+                [-S^{-1} W^T,            S^{-1}]],   W = A^{-1} B.
+
+    Exact in f32 up to rounding (no iteration, no bf16 floor); cost
+    O(n^3) MACs at log2(n/3) recursion depth — microseconds at the
+    (..., <=32, <=32) sizes this serves.
+    """
+    n = M.shape[-1]
+    hp = jax.lax.Precision.HIGHEST
+    if n == 1:
+        return 1.0 / M
+    if n == 2:
+        a = M[..., 0, 0]
+        b = M[..., 0, 1]
+        d = M[..., 1, 1]
+        det = a * d - b * M[..., 1, 0]
+        row0 = jnp.stack([d, -b], axis=-1)
+        row1 = jnp.stack([-M[..., 1, 0], a], axis=-1)
+        return jnp.stack([row0, row1], axis=-2) / det[..., None, None]
+    if n == 3:
+        # Cramer adjugate — the same trick that fixed the estimator's
+        # frequency-grid Gram solve (ops/estimator.py)
+        a, b, c = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
+        d, e, f = M[..., 1, 0], M[..., 1, 1], M[..., 1, 2]
+        g, h, i = M[..., 2, 0], M[..., 2, 1], M[..., 2, 2]
+        A00 = e * i - f * h
+        A01 = c * h - b * i
+        A02 = b * f - c * e
+        A10 = f * g - d * i
+        A11 = a * i - c * g
+        A12 = c * d - a * f
+        A20 = d * h - e * g
+        A21 = b * g - a * h
+        A22 = a * e - b * d
+        det = a * A00 + b * A10 + c * A20
+        adj = jnp.stack(
+            [
+                jnp.stack([A00, A01, A02], axis=-1),
+                jnp.stack([A10, A11, A12], axis=-1),
+                jnp.stack([A20, A21, A22], axis=-1),
+            ],
+            axis=-2,
+        )
+        return adj / det[..., None, None]
+    k = (n + 1) // 2
+    A = M[..., :k, :k]
+    B = M[..., :k, k:]
+    D = M[..., k:, k:]
+    Ai = spd_inverse(A)
+    W = jnp.matmul(Ai, B, precision=hp)
+    S = D - jnp.matmul(jnp.swapaxes(B, -1, -2), W, precision=hp)
+    Si = spd_inverse(S)
+    WSi = jnp.matmul(W, Si, precision=hp)
+    TL = Ai + jnp.matmul(WSi, jnp.swapaxes(W, -1, -2), precision=hp)
+    top = jnp.concatenate([TL, -WSi], axis=-1)
+    bot = jnp.concatenate([-jnp.swapaxes(WSi, -1, -2), Si], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
+def spd_solve(M: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
+    """Batched SPD solve via spd_inverse; rhs (..., n) or (..., n, k)."""
+    Mi = spd_inverse(M)
+    if rhs.ndim == M.ndim - 1:
+        return jnp.einsum("...ij,...j->...i", Mi, rhs)
+    return jnp.matmul(Mi, rhs, precision=jax.lax.Precision.HIGHEST)
+
+
 def ns_inverse_bucket(
     K: jnp.ndarray,
     X0: jnp.ndarray,

@@ -43,7 +43,8 @@ class PDIPState(NamedTuple):
     zu: jnp.ndarray
 
 
-def _kkt_solve(qp: QPData, d: jnp.ndarray, rhs: jnp.ndarray, reg) -> jnp.ndarray:
+def _kkt_solve(qp: QPData, d: jnp.ndarray, rhs: jnp.ndarray, reg,
+               kkt: str = "cholesky") -> jnp.ndarray:
     """(P + A^T diag(d) A + reg I) \\ rhs using the block structure."""
     n = qp.P.shape[-1]
     batch = qp.P.shape[:-2]
@@ -52,6 +53,8 @@ def _kkt_solve(qp: QPData, d: jnp.ndarray, rhs: jnp.ndarray, reg) -> jnp.ndarray
     G = jnp.einsum("ca,...kc,cb->...kab", qp.F, d_blocks, qp.F)
     K = qp.P + jnp.asarray(reg, qp.P.dtype) * jnp.eye(n, dtype=qp.P.dtype)
     K = linalg.add_block_diag(K, G)
+    if kkt == "spd":
+        return linalg.spd_solve(K, rhs)
     return linalg.cho_solve(linalg.cholesky_factor(K), rhs)
 
 
@@ -108,7 +111,7 @@ def solve(qp: QPData, cfg: PDIPConfig) -> tuple[jnp.ndarray, PDIPState]:
             - con.apply_T(qp.F, (r_cl - zl * r_pl) / sl)
             + con.apply_T(qp.F, (r_cu - zu * r_pu) / su)
         )
-        dx = _kkt_solve(qp, d, rhs, cfg.reg)
+        dx = _kkt_solve(qp, d, rhs, cfg.reg, cfg.kkt)
 
         adx = con.apply(qp.F, dx)
         dsl = adx - r_pl

@@ -25,6 +25,8 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
+from quad_periodic_mpc_tpu.ops import linalg
+
 from quad_periodic_mpc_tpu.models import floating_base as fb
 from quad_periodic_mpc_tpu.estimation.orientation import quat_product
 from quad_periodic_mpc_tpu.ops.rotations import quat_to_rotmat
@@ -182,7 +184,7 @@ def step(
         f_b = jnp.einsum("...ji,...j->...i", R, f_ext_base)
         rhs = rhs.at[..., 3:6].add(f_b)
 
-    qdd = jnp.linalg.solve(A, rhs[..., None])[..., 0]
+    qdd = linalg.spd_solve(A, rhs)   # 18x18 SPD mass matrix
 
     v_body = s.v_body + dt * qdd[..., 0:6]
     qd = s.qd + dt * qdd[..., 6:18]

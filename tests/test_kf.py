@@ -94,8 +94,11 @@ def test_kf_matches_reference_transliteration():
             jnp.asarray(p_rel), jnp.asarray(v_rel), jnp.asarray(phase), pr,
         )
         xhat, P = np_kf_step(xhat, P, a, Rbody, omega, p_rel, v_rel, phase, pr)
-        np.testing.assert_allclose(np.asarray(st.xhat), xhat, atol=1e-9)
-        np.testing.assert_allclose(np.asarray(st.P), P, atol=1e-9)
+        # atol 1e-6: the product's innovation solve is the exact
+        # Schur-recursion spd_inverse (different rounding than NumPy's
+        # LU; measured gap ~1e-7 over 10 f64 steps)
+        np.testing.assert_allclose(np.asarray(st.xhat), xhat, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(st.P), P, atol=1e-6)
 
 
 def test_kf_batched_matches_loop():
