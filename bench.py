@@ -468,7 +468,16 @@ def main() -> None:
         try:
             h16_b = 1024
             h16_cfg = MPCConfig(horizon=16)
-            h16_jit = jax.jit(make_step(h16_cfg, solver))
+            # gate-passing h=16 config (tools probe, walking 1024):
+            # ADMM-40 + HIGHEST NS (n=192 >= 168) + cold-14 measures
+            # primal 2.3-4.0e-3 / dual 1.3-2.3e-4; ADMM-30 at the old
+            # bf16 NS floor sat ABOVE the 6e-3 gate (1.4e-2).  xla loop:
+            # the accuracy-reference backend at this secondary line.
+            h16_solver = (
+                ADMMConfig(iterations=40, ns_cold_iters=14)
+                if args.solver == "admm" else solver
+            )
+            h16_jit = jax.jit(make_step(h16_cfg, h16_solver))
             ctrl, plant, cmd, gait, dist = make_inputs(h16_b, horizon=16)
             ctrl, plant, f = h16_jit(ctrl, plant, cmd, gait, dist)
             float(jnp.sum(f))
@@ -486,6 +495,31 @@ def main() -> None:
                     f"@ batch {h16_b} ({dt / n * 1e3:.1f} ms/step)",
                     file=sys.stderr, flush=True,
                 )
+
+            # h16 carries its own gate, like every published number
+            from quad_periodic_mpc_tpu.ops import qp_admm as _qa16
+
+            def h16_audit(ctrl, plant, cmd, gait, dist):
+                obs = S.observe(plant)
+                ctrl = M.setup_command(ctrl, cmd, loop_cfg)
+                ctrl, forces, qp = M.mpc_step(
+                    ctrl, obs, cmd, gait, plant.t, h16_cfg, loop_cfg,
+                    est_cfg, h16_solver, return_qp=True,
+                )
+                res = _qa16.kkt_residuals(
+                    qp, ctrl.warm_x, ctrl.warm_z, ctrl.warm_y
+                )
+                return ctrl, res
+
+            h16a = jax.jit(h16_audit)
+            ctrl, res = h16a(ctrl, plant, cmd, gait, dist)
+            kp16 = float(jnp.max(res["primal"]))
+            kd16 = float(jnp.max(res["dual"]))
+            _update(h16_kkt_primal_max=round(kp16, 6),
+                    h16_kkt_dual_max=round(kd16, 6))
+            print(f"h=16 warm KKT: primal max {kp16:.2e}, dual max "
+                  f"{kd16:.2e} (gates 6e-3 / 1e-3)",
+                  file=sys.stderr, flush=True)
         except Exception as e:
             print(f"h16 phase failed: {type(e).__name__}: {e}",
                   file=sys.stderr, flush=True)

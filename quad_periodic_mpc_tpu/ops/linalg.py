@@ -180,7 +180,7 @@ def ns_inverse(
         # ~0.1-0.5 floor is re-contracted by the warm-started loop.
         precision = (
             jax.lax.Precision.HIGHEST
-            if n >= 200
+            if n >= 168
             else jax.lax.Precision.DEFAULT
         )
     mm = lambda a, b: jnp.matmul(a, b, precision=precision)
@@ -328,11 +328,23 @@ def ns_inverse_bucket(
     rounds on this family (cond ~ 46, tools/exp_ns_design.py), so the
     escalation here is: one warm round for everyone (the seed-product
     GEMM doubling as round 1), then a k = B/bucket_frac TOP-K gather of
-    the worst seed residuals restarted cold for `cold_iters` rounds at
+    the worst seed residuals CONTINUED for `cold_iters` extra rounds at
     k/B of the full-batch cost, scattered back.  When MORE than k seeds
     are non-contractive (the all-cold first step), a lax.cond falls back
     to continuing the full batch — every instance still gets >=
     cold_iters rounds from a contractive seed in that branch.
+
+    Jumped-seed handling (the key latency lever at b = 1, where p99
+    catches the jump steps): a non-contractive WARM seed is not
+    restarted cold — it is RESCALED by alpha = 1.8 / (1 + r).  M = X0 K
+    has a real positive spectrum in (0, ||M||_inf] <= (0, 1 + r], so
+    alpha*X0 has spectrum in (0, 1.8]: spectrally contractive, and the
+    directions the drift did NOT touch (eigenvalues ~ 1) start at
+    residual ~ |1 - alpha| instead of the cold seed's 1 - 1/cond —
+    roughly half the rounds to the floor.  alpha*M reuses the seed
+    product, so the rescale is free.  Degenerate seeds (the all-zeros
+    first step: M = 0, rescaling is a no-op fixed point) are detected
+    by trace(M) and restarted truly cold.
 
     K, X0: (B, n, n) flat-batched.  Returns X ~ K^{-1} with the same
     floor as ns_inverse; cost ~ (warm_iters + cold_iters/bucket_frac)
@@ -340,21 +352,30 @@ def ns_inverse_bucket(
     """
     B, n = K.shape[0], K.shape[-1]
     k = max(B // bucket_frac, 1)
+    # HIGHEST from n >= 168 (h >= 14): at n = 192 the bf16 NS floor
+    # alone holds the h=16 walking primal residual above the 6e-3 gate
+    # (measured 6-9e-3 at cold-16/warm-2; HIGHEST clears it)
     precision = (
-        jax.lax.Precision.HIGHEST if n >= 200 else jax.lax.Precision.DEFAULT
+        jax.lax.Precision.HIGHEST if n >= 168 else jax.lax.Precision.DEFAULT
     )
     mm = lambda a, b: jnp.matmul(a, b, precision=precision)
     eye = jnp.eye(n, dtype=K.dtype)
     norminf = jnp.max(jnp.sum(jnp.abs(K), axis=-1), axis=-1)
     X_cold = jnp.broadcast_to(eye, K.shape) / norminf[..., None, None]
+    M_cold = K / norminf[..., None, None]
 
     # seed gate (one GEMM, reused as warm round 1 — see ns_inverse)
     M = mm(X0, K)
     r = jnp.max(jnp.sum(jnp.abs(eye - M), axis=-1), axis=-1)
+    trM = jnp.trace(M, axis1=-2, axis2=-1)
     contractive = r < 0.9
+    # warm-shaped but jumped: rescale; degenerate (zero/garbage): cold
+    usable = trM > 0.1 * n
+    alpha = (1.8 / (1.0 + r))[..., None, None]
     c = contractive[..., None, None]
-    X = jnp.where(c, X0, X_cold)
-    M = jnp.where(c, M, K / norminf[..., None, None])
+    u = usable[..., None, None]
+    X = jnp.where(c, X0, jnp.where(u, alpha * X0, X_cold))
+    M = jnp.where(c, M, jnp.where(u, alpha * M, M_cold))
     X = mm(2.0 * eye - M, X)
     for _ in range(warm_iters - 1):
         X = mm(X, 2.0 * eye - mm(K, X))
@@ -367,9 +388,7 @@ def ns_inverse_bucket(
     def bucket_path(X):
         _, idx = jax.lax.top_k(r, k)
         Ksub = jnp.take(K, idx, axis=0)
-        Xsub = jnp.broadcast_to(eye, Ksub.shape) / jnp.take(
-            norminf, idx, axis=0
-        )[..., None, None]
+        Xsub = jnp.take(X, idx, axis=0)   # continue from the scaled seed
         Xsub = run_ns(Ksub, Xsub, cold_iters)
         return X.at[idx].set(Xsub)
 

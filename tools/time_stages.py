@@ -121,6 +121,18 @@ def main() -> None:
 
     fence(kkt_warm, "KKT inverse (NS warm 3 + Woodbury)", qp, rho, warm)
 
+    # production round-3 path: uniform-rho K + top-k bucket escalation
+    from quad_periodic_mpc_tpu.ops import linalg as L
+
+    def kkt_bucket(qp, kinv):
+        K0 = qp_admm.build_kkt_uniform(qp, cfg)
+        return L.ns_inverse_bucket(
+            K0, kinv, warm_iters=cfg.ns_warm_iters,
+            cold_iters=cfg.ns_cold_iters,
+        )
+
+    fence(kkt_bucket, "KKT inverse (uniform + bucket, warm)", qp, K_inv)
+
     x0 = jnp.zeros((B, n), dtype)
     z0 = jnp.zeros((B, m), dtype)
     y0 = jnp.zeros((B, m), dtype)
