@@ -469,12 +469,16 @@ def main() -> None:
             h16_b = 1024
             h16_cfg = MPCConfig(horizon=16)
             # gate-passing h=16 config (tools probe, walking 1024):
-            # ADMM-40 + HIGHEST NS (n=192 >= 168) + cold-14 measures
-            # primal 2.3-4.0e-3 / dual 1.3-2.3e-4; ADMM-30 at the old
-            # bf16 NS floor sat ABOVE the 6e-3 gate (1.4e-2).  xla loop:
-            # the accuracy-reference backend at this secondary line.
+            # ADMM-40 + DEFAULT-precision NS bucket + one HIGH polish
+            # round measures primal ~2.0e-3 / dual ~1.4e-4 — better than
+            # all-HIGHEST rounds (4.2e-3 / 2.0e-4) at equal speed (the
+            # polish squares the bf16 floor once).  ADMM-30 with no
+            # polish sat ABOVE the 6e-3 gate (1.4e-2).  xla loop: the
+            # accuracy-reference backend at this secondary line (pallas
+            # at n=192 measured slower AND dual-degraded).
             h16_solver = (
-                ADMMConfig(iterations=40, ns_cold_iters=14)
+                ADMMConfig(iterations=40, ns_cold_iters=14,
+                           ns_bucket_precision="default", ns_polish=1)
                 if args.solver == "admm" else solver
             )
             h16_jit = jax.jit(make_step(h16_cfg, h16_solver))

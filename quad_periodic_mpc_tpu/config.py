@@ -146,6 +146,11 @@ class ADMMConfig:
     # its residual floor in 9-10 rounds on the condensed-MPC family
     # (cond(K) ~ 46, tools/exp_ns_design.py); 12 adds margin.
     ns_cold_iters: int = 12
+    # Matmul precision of the bucket NS rounds: "auto" (HIGHEST from
+    # n >= 168, DEFAULT below), or "default"/"high"/"highest" override.
+    # "default" + ns_polish >= 1 is the cheap large-n recipe (see
+    # linalg.ns_inverse_bucket).
+    ns_bucket_precision: str = "auto"
     # QP formulation: "condensed" (dense 12h-var QP, the reference's
     # SolverMPC shape — fastest at h <= 16) or "stagewise" (Riccati-ADMM
     # over per-stage variables, ops/qp_stagewise.py — the long-horizon

@@ -314,6 +314,7 @@ def ns_inverse_bucket(
     cold_iters: int = 12,
     bucket_frac: int = 4,
     polish: int = 0,
+    precision=None,
 ) -> jnp.ndarray:
     """NS inverse with TOP-K cold-restart escalation.
 
@@ -352,12 +353,24 @@ def ns_inverse_bucket(
     """
     B, n = K.shape[0], K.shape[-1]
     k = max(B // bucket_frac, 1)
-    # HIGHEST from n >= 168 (h >= 14): at n = 192 the bf16 NS floor
-    # alone holds the h=16 walking primal residual above the 6e-3 gate
-    # (measured 6-9e-3 at cold-16/warm-2; HIGHEST clears it)
-    precision = (
-        jax.lax.Precision.HIGHEST if n >= 168 else jax.lax.Precision.DEFAULT
-    )
+    if precision is None:
+        # HIGHEST from n >= 168 (h >= 14): at n = 192 the bf16 NS floor
+        # alone holds the h=16 walking primal residual above the 6e-3
+        # gate (measured 6-9e-3 at cold-16/warm-2).  Cheaper alternative
+        # for large n: precision="default" + polish >= 1 — DEFAULT
+        # rounds to the bf16 floor, then each HIGH polish round squares
+        # it (1e-2 -> 1e-4) at 1/3 the per-round cost of HIGHEST.
+        precision = (
+            jax.lax.Precision.HIGHEST
+            if n >= 168
+            else jax.lax.Precision.DEFAULT
+        )
+    elif isinstance(precision, str):
+        precision = {
+            "default": jax.lax.Precision.DEFAULT,
+            "high": jax.lax.Precision.HIGH,
+            "highest": jax.lax.Precision.HIGHEST,
+        }[precision]
     mm = lambda a, b: jnp.matmul(a, b, precision=precision)
     eye = jnp.eye(n, dtype=K.dtype)
     norminf = jnp.max(jnp.sum(jnp.abs(K), axis=-1), axis=-1)

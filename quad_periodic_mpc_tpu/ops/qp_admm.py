@@ -157,6 +157,8 @@ def solve(
             K_inv = linalg.ns_inverse_bucket(
                 Kf, X0f, warm_iters=cfg.ns_warm_iters,
                 cold_iters=cfg.ns_cold_iters, polish=cfg.ns_polish,
+                precision=(None if cfg.ns_bucket_precision == "auto"
+                           else cfg.ns_bucket_precision),
             ).reshape(K0.shape)
         else:
             K_inv = linalg.ns_inverse(
