@@ -114,7 +114,16 @@ def cmd_sweep(args) -> None:
         )
     spec = SweepSpec(phase_offsets=args.phase_offsets, **terrain)
     mesh = mesh_lib.make_mesh() if args.shard else None
-    res = run_sweep(spec, n_mpc_steps=args.mpc_steps, mesh=mesh)
+    from quad_periodic_mpc_tpu.config import EstimatorConfig
+
+    est_cfg = EstimatorConfig(
+        mode=args.estimator,
+        residual="discrete" if args.estimator in ("ls", "ls6") else "reference",
+        window=args.est_window, ls_release=args.est_window,
+    )
+    res = run_sweep(
+        spec, n_mpc_steps=args.mpc_steps, mesh=mesh, est_cfg=est_cfg
+    )
     import numpy as np
 
     print(json.dumps({
@@ -186,6 +195,13 @@ def main(argv=None) -> None:
                    help="comma list of doorstep heights (m) — terrain axis")
     s.add_argument("--terrain-edges", default="0.30",
                    help="comma list of doorstep edge positions (m)")
+    # estimator A/B axis (the paper's experiment arms): adaptive
+    # ("ls"/"ls6"/"faithful") vs "static" (EMA residual only) vs "off"
+    s.add_argument("--estimator",
+                   choices=["ls", "ls6", "faithful", "static", "off"],
+                   default="ls")
+    s.add_argument("--est-window", type=int, default=400,
+                   help="estimator window / release sample count")
     s.set_defaults(fn=cmd_sweep)
 
     p = sub.add_parser("parity", help="cross-solver parity report")

@@ -243,10 +243,12 @@ def mpc_step(
     tier) — traced, so retuning weights/alpha/mu/f_max/x-drag/EMAs
     between calls reuses the compiled program.
 
-    return_qp (static): also return the assembled condensed QPData
-    (None on the stagewise path) so callers can audit the solve —
-    bench.py and the accuracy tests compute KKT residuals of the
-    production warm solution against exactly the QP it solved.
+    return_qp (static): also return the assembled problem so callers
+    can audit the solve — the condensed QPData (qp_admm.kkt_residuals)
+    or, on the stagewise path, the StagewiseProblem
+    (qp_stagewise.kkt_residuals).  bench.py and the accuracy tests
+    compute KKT residuals of the production warm solution against
+    exactly the problem it solved.
     """
     dtype = obs.p.dtype
     R = quat_to_rotmat(obs.quat)
@@ -333,7 +335,7 @@ def mpc_step(
             state.warm_z.reshape(lead + (mpc.horizon, 20)),
             state.warm_y.reshape(lead + (mpc.horizon, 20)),
         )
-        qp_out = None
+        qp_out = sw
         U, info = qp_stagewise.solve(sw, solver, warm=warm_sw)
         state = state._replace(
             warm_x=U.reshape(lead + (mpc.horizon * 12,)),

@@ -346,6 +346,30 @@ def update(
         )
         return new_state, f_for_qp
 
+    if cfg.mode in ("off", "static"):
+        # The paper's two baseline arms (README "Results": adaptive MPC
+        # vs static compensation vs none; raisim driver experiment,
+        # raisim_unitree_ros_driver.cpp:601-621):
+        # - "off": no compensation reaches the QP;
+        # - "static": only the EMA'd raw residual (the reference's
+        #   f_est_static, SolverMPC.cpp:798) — tracks the DC offset but
+        #   not the sinusoid.
+        f_est_static = state.f_est_static.at[..., 3].set(
+            ema_static * state.f_est_static[..., 3]
+            + (1.0 - ema_static) * f_ext[..., 3]
+        )
+        new_state = state._replace(
+            times=times, diffs=diffs, wrench_hist=wrench_hist, count=count,
+            f_est_static=f_est_static,
+        )
+        if cfg.mode == "off":
+            return new_state, jnp.zeros_like(state.f_est)
+        release = count >= cfg.ls_release
+        f_for_qp = jnp.where(
+            release[..., None], f_est_static, jnp.zeros_like(f_est_static)
+        )
+        return new_state, f_for_qp
+
     if cfg.mode == "faithful":
         blurred = gaussian_filter(diffs, cfg.sigma_fast)
         very_blurred = gaussian_filter(diffs, cfg.sigma_slow)

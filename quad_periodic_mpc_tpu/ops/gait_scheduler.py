@@ -20,21 +20,23 @@ import numpy as np
 import jax.numpy as jnp
 
 # GaitType parameter table (createGait, GaitScheduler.cpp:306-460):
-# name: (period_s, switching_phase, offsets[4], scale[4], enabled[4])
+# name: (period_s, switching_phase, offsets[4], scale[4], enabled[4],
+#        initial_phase) — initial_phase is 0 for every case except PACE,
+# which seeds a quarter period in (GaitScheduler.cpp:387).
 GAIT_TABLE: dict[str, tuple] = {
-    "stand":           (10.0, 1.0, (0.5, 0.5, 0.5, 0.5), (1, 1, 1, 1), (1, 1, 1, 1)),
-    "stand_cycle":     (1.0, 1.0, (0.5, 0.5, 0.5, 0.5), (1, 1, 1, 1), (1, 1, 1, 1)),
-    "static_walk":     (1.25, 0.8, (0.25, 0.0, 0.75, 0.5), (1, 1, 1, 1), (1, 1, 1, 1)),
-    "amble":           (0.5, 0.625, (0.0, 0.5, 0.25, 0.75), (1, 1, 1, 1), (1, 1, 1, 1)),
-    "trot_walk":       (0.5, 0.6, (0.0, 0.5, 0.5, 0.0), (1, 1, 1, 1), (1, 1, 1, 1)),
-    "trot":            (0.5, 0.5, (0.0, 0.5, 0.5, 0.0), (1, 1, 1, 1), (1, 1, 1, 1)),
-    "trot_run":        (0.4, 0.4, (0.0, 0.5, 0.5, 0.0), (1, 1, 1, 1), (1, 1, 1, 1)),
-    "pace":            (0.35, 0.5, (0.0, 0.5, 0.0, 0.5), (1, 1, 1, 1), (1, 1, 1, 1)),
-    "bound":           (0.4, 0.4, (0.0, 0.0, 0.5, 0.5), (1, 1, 1, 1), (1, 1, 1, 1)),
-    "rotary_gallop":   (0.4, 0.2, (0.0, 0.8571, 0.3571, 0.5), (1, 1, 1, 1), (1, 1, 1, 1)),
-    "traverse_gallop": (0.5, 0.2, (0.0, 0.8571, 0.3571, 0.5), (1, 1, 1, 1), (1, 1, 1, 1)),
-    "pronk":           (0.5, 0.5, (0.0, 0.0, 0.0, 0.0), (1, 1, 1, 1), (1, 1, 1, 1)),
-    "three_foot":      (0.4, 0.666, (0.0, 0.666, 0.0, 0.333), (0, 1, 1, 1), (0, 1, 1, 1)),
+    "stand":           (10.0, 1.0, (0.5, 0.5, 0.5, 0.5), (1, 1, 1, 1), (1, 1, 1, 1), 0.0),
+    "stand_cycle":     (1.0, 1.0, (0.5, 0.5, 0.5, 0.5), (1, 1, 1, 1), (1, 1, 1, 1), 0.0),
+    "static_walk":     (1.25, 0.8, (0.25, 0.0, 0.75, 0.5), (1, 1, 1, 1), (1, 1, 1, 1), 0.0),
+    "amble":           (0.5, 0.625, (0.0, 0.5, 0.25, 0.75), (1, 1, 1, 1), (1, 1, 1, 1), 0.0),
+    "trot_walk":       (0.5, 0.6, (0.0, 0.5, 0.5, 0.0), (1, 1, 1, 1), (1, 1, 1, 1), 0.0),
+    "trot":            (0.5, 0.5, (0.0, 0.5, 0.5, 0.0), (1, 1, 1, 1), (1, 1, 1, 1), 0.0),
+    "trot_run":        (0.4, 0.4, (0.0, 0.5, 0.5, 0.0), (1, 1, 1, 1), (1, 1, 1, 1), 0.0),
+    "pace":            (0.35, 0.5, (0.0, 0.5, 0.0, 0.5), (1, 1, 1, 1), (1, 1, 1, 1), 0.25),
+    "bound":           (0.4, 0.4, (0.0, 0.0, 0.5, 0.5), (1, 1, 1, 1), (1, 1, 1, 1), 0.0),
+    "rotary_gallop":   (0.4, 0.2, (0.0, 0.8571, 0.3571, 0.5), (1, 1, 1, 1), (1, 1, 1, 1), 0.0),
+    "traverse_gallop": (0.5, 0.2, (0.0, 0.8571, 0.3571, 0.5), (1, 1, 1, 1), (1, 1, 1, 1), 0.0),
+    "pronk":           (0.5, 0.5, (0.0, 0.0, 0.0, 0.0), (1, 1, 1, 1), (1, 1, 1, 1), 0.0),
+    "three_foot":      (0.4, 0.666, (0.0, 0.666, 0.0, 0.333), (0, 1, 1, 1), (0, 1, 1, 1), 0.0),
 }
 
 
@@ -62,7 +64,7 @@ class SchedulerOutput(NamedTuple):
 
 
 def params(name: str, dtype=jnp.float32) -> SchedulerParams:
-    p, sw, off, sc, en = GAIT_TABLE[name]
+    p, sw, off, sc, en, _ip = GAIT_TABLE[name]
     return SchedulerParams(
         period=jnp.asarray(p, dtype),
         switching_phase=jnp.asarray(sw, dtype),
@@ -205,9 +207,11 @@ def _stacked_table(dtype=jnp.float32):
     sc = np.array([r[3] for r in rows], float)
     en = np.array([r[4] for r in rows], float)
     ov = np.array(_OVERRIDEABLE, float)
+    ip = np.array([r[5] for r in rows])
     return (jnp.asarray(period, dtype), jnp.asarray(sw, dtype),
             jnp.asarray(off, dtype), jnp.asarray(sc, dtype),
-            jnp.asarray(en, dtype), jnp.asarray(ov, dtype))
+            jnp.asarray(en, dtype), jnp.asarray(ov, dtype),
+            jnp.asarray(ip, dtype))
 
 
 def gait_data_init(
@@ -246,7 +250,7 @@ def create_gait(gd: GaitData, next_gait: jnp.ndarray) -> GaitData:
     is preserved while the period stretches 3x (:455-476); then
     re-initialize the phase variables phase = initial_phase + offset."""
     dtype = gd.period_nominal.dtype
-    period_t, sw_t, off_t, sc_t, en_t, ov_t = _stacked_table(dtype)
+    period_t, sw_t, off_t, sc_t, en_t, ov_t, ip_t = _stacked_table(dtype)
     gid = next_gait
 
     # table row (CUSTOM/TRANSITION rows are placeholders, masked below)
@@ -282,14 +286,16 @@ def create_gait(gd: GaitData, next_gait: jnp.ndarray) -> GaitData:
     en = jnp.where(is_trans, 1.0, en)
     ov = jnp.where(is_trans[..., 0], 0.0, ov)
 
-    # every non-CUSTOM createGait case resets initialPhase to 0
-    # (calcAuxiliaryGaitData then re-seeds per-foot phases from the
-    # offsets, :545-551); the CUSTOM case never touches initialPhase, so
-    # switching to CUSTOM mid-cycle keeps the running value — zeroing it
-    # would snap phases back to the raw offsets, a discontinuity the
-    # reference does not have.
-    ip = jnp.where(is_custom[..., 0], gd.initial_phase,
-                   jnp.zeros_like(gd.initial_phase))
+    # every non-CUSTOM createGait case resets initialPhase to the table
+    # value — 0 for all gaits except PACE, which seeds a quarter period
+    # (GaitScheduler.cpp:387; calcAuxiliaryGaitData then re-seeds
+    # per-foot phases initial_phase + offset, :545-551).  The CUSTOM case
+    # never touches initialPhase, so switching to CUSTOM mid-cycle keeps
+    # the running value — zeroing it would snap phases back to the raw
+    # offsets, a discontinuity the reference does not have.
+    # TRANSITION_TO_STAND folds the current phases into its offsets
+    # (:455-476), so its initialPhase stays 0 (its table-row value).
+    ip = jnp.where(is_custom[..., 0], gd.initial_phase, ip_t[gid])
     phase = (ip[..., None] + off) * en
     return gd._replace(
         current_gait=gid, next_gait=gid,

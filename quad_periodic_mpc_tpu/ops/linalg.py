@@ -403,6 +403,26 @@ def ns_inverse_bucket(
         Ksub = jnp.take(K, idx, axis=0)
         Xsub = jnp.take(X, idx, axis=0)   # continue from the scaled seed
         Xsub = run_ns(Ksub, Xsub, cold_iters)
+        # Post-contraction check: the alpha-rescale argument assumes the
+        # carried X0 is still positive definite; an f32-rounded
+        # INDEFINITE seed keeps a negative eigenvalue, alpha*X0 is then
+        # non-contractive and the rounds above diverge (NaN/large).  One
+        # (k, n, n) residual GEMM catches it; the rare rescue branch
+        # restarts the failed instances from the cold seed.  (~(x <= t)
+        # instead of x > t so NaN counts as failed.)
+        r_post = jnp.max(
+            jnp.sum(jnp.abs(eye - mm(Xsub, Ksub)), axis=-1), axis=-1
+        )
+        failed = ~(r_post <= 0.9)
+
+        def rescue(Xs):
+            seed = jnp.where(
+                failed[..., None, None], jnp.take(X_cold, idx, axis=0), Xs
+            )
+            Xr = run_ns(Ksub, seed, cold_iters)
+            return jnp.where(failed[..., None, None], Xr, Xs)
+
+        Xsub = jax.lax.cond(jnp.any(failed), rescue, lambda Xs: Xs, Xsub)
         return X.at[idx].set(Xsub)
 
     def global_path(X):

@@ -121,6 +121,17 @@ def solve(
 ) -> tuple[jnp.ndarray, ADMMState]:
     """Run cfg.iterations fixed ADMM steps; returns (x, final state).
 
+    Cold-start note (ADVICE r3): the default eq_mode="uniform" is tuned
+    for the production warm-started loop — the carried y rows already
+    hold the swing-pin duals, so the stiff-rho pinning buys nothing and
+    its Woodbury restore stage costs ~8 ms/step at batch 2048.  A COLD
+    one-shot solve at moderate iteration counts pins swing rows slower
+    under uniform rho (test_warm_start_roundtrip's cold bound is 1.5 N
+    at ADMM-60 vs 0.2 N with the eq bump); one-shot callers who need
+    tight cold accuracy should pass eq_mode="woodbury" or raise
+    iterations (cold ADMM-400 uniform measures ~1e-3 N, the parity
+    table's cold row).
+
     Fully batched over leading dims of qp; jit/vmap/shard_map safe.
     On the "ns" backend, warm.kinv carries the previous MPC step's
     uniform-rho base inverse K0^{-1}: K0 drifts only with P (never with

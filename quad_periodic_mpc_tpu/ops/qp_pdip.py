@@ -54,7 +54,17 @@ def _kkt_solve(qp: QPData, d: jnp.ndarray, rhs: jnp.ndarray, reg,
     K = qp.P + jnp.asarray(reg, qp.P.dtype) * jnp.eye(n, dtype=qp.P.dtype)
     K = linalg.add_block_diag(K, G)
     if kkt == "spd":
-        return linalg.spd_solve(K, rhs)
+        # One step of iterative refinement on the explicit-inverse solve
+        # (ADVICE r3): near the barrier endgame cond(K) reaches
+        # ~1e8-1e10 and the f32 Schur-recursion inverse loses digits
+        # that Cholesky's back-substitution keeps; the residual
+        # correction r = rhs - K dx recovers them at the cost of two
+        # GEMVs (HIGHEST precision — the residual is a cancellation).
+        hp = jax.lax.Precision.HIGHEST
+        Mi = linalg.spd_inverse(K)
+        dx = jnp.einsum("...ij,...j->...i", Mi, rhs, precision=hp)
+        r = rhs - jnp.einsum("...ij,...j->...i", K, dx, precision=hp)
+        return dx + jnp.einsum("...ij,...j->...i", Mi, r, precision=hp)
     return linalg.cho_solve(linalg.cholesky_factor(K), rhs)
 
 

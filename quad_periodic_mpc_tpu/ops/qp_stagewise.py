@@ -39,6 +39,18 @@ from quad_periodic_mpc_tpu.ops import constraints as con
 NX = 13
 NU = 12
 
+# NS rounds for the factorization's inner inverses (the combine's
+# (I + C J)^{-1} and Quu^{-1}).  Spectral budget: the spectrum lies in
+# [1, L] with L = 1 + ||C J|| ~ 1e3 on this family (R_eff ~ 1e-3 from
+# alpha + rho F^T F vs Q ~ 1e2), the scalar seed starts the smallest
+# eigenvalue at residual 1 - 1/L, and NS squares it per round — so
+# reaching 1e-6 needs ceil(log2(L ln 1e6)) ~ 14 rounds; 16 adds margin.
+# The factorization is LAUNCH-bound on TPU (hundreds of tiny lane-major
+# kernels), so these rounds are the dominant stagewise solve cost —
+# the earlier 24 was pure waste (verified: warm KKT residuals unchanged
+# at 16, tools/time_h16_r4.py).
+NS_COMBINE_ITERS = 16
+
 
 class StagewiseProblem(NamedTuple):
     Ad: jnp.ndarray      # (..., 13, 13) discrete dynamics (time-invariant)
@@ -148,7 +160,9 @@ class LQRGains(NamedTuple):
     p_T: jnp.ndarray     # (..., 13) terminal linear cost
 
 
-def _ns_posspec_inverse(M: jnp.ndarray, iters: int = 24) -> jnp.ndarray:
+def _ns_posspec_inverse(
+    M: jnp.ndarray, iters: int = NS_COMBINE_ITERS
+) -> jnp.ndarray:
     """Newton-Schulz inverse for a (possibly nonsymmetric) matrix whose
     spectrum is real and >= 1 (here M = I + C J with C, J PSD: similar
     to I + C^{1/2} J C^{1/2}).  The scalar seed X0 = I / ||M||_inf makes
@@ -274,7 +288,7 @@ def lqr_factorize(
     M = jnp.broadcast_to(R_eff, batch + (h, NU, NU)) + mm(
         mm(tr(Bh), P), Bh
     )
-    Minv = linalg.ns_inverse(M, iters=24, precision=hi3)
+    Minv = linalg.ns_inverse(M, iters=NS_COMBINE_ITERS, precision=hi3)
     Qux = mm(mm(tr(Bh), P), Ah)             # (..., h, 12, 13)
     K = mm(Minv, Qux)
     G = mm(tr(Qux), Minv)                   # (..., h, 13, 12)
@@ -377,7 +391,9 @@ from quad_periodic_mpc_tpu.ops.linalg import (  # noqa: E402
 )
 
 
-def _pns_posspec_inverse(M: jnp.ndarray, iters: int = 24) -> jnp.ndarray:
+def _pns_posspec_inverse(
+    M: jnp.ndarray, iters: int = NS_COMBINE_ITERS
+) -> jnp.ndarray:
     """_ns_posspec_inverse in lane-major layout (exact f32 VPU math)."""
     return lane_ns_inverse(M, iters)
 
@@ -511,7 +527,7 @@ def lqr_factorize_packed(
     Ah = Ad[None]
     BtP = _pmm(_ptr(Bh), P)                                    # (h,12,13,B)
     M = R_eff[None, :, :, None] + _pmm(BtP, Bh)
-    Minv = _pns_posspec_inverse(M, 24)
+    Minv = _pns_posspec_inverse(M, NS_COMBINE_ITERS)
     Qux = _pmm(BtP, Ah)                                        # (h,12,13,B)
     K = _pmm(Minv, Qux)
     G = _pmm(_ptr(Qux), Minv)                                  # (h,13,12,B)
@@ -638,13 +654,22 @@ def solve(
         U, z, y = (pseq(t, r) for t, r in zip(warm, (NU, 20, 20)))
     F = prob.F.astype(dtype)
 
+    a = jnp.asarray(cfg.over_relax, dtype)
+
     def iteration(carry, _):
         U, z, y = carry
         r_lin = _pcone_apply_T(F, rho * z - y)
-        U_new = lqr_apply_packed(gains, Bd, c, x0, r_lin)
-        Fu_new = _pcone_apply(F, U_new)
-        z_new = jnp.clip(Fu_new + y / rho, l_p, u_p)
-        y_new = y + rho * (Fu_new - z_new)
+        U_t = lqr_apply_packed(gains, Bd, c, x0, r_lin)
+        # over-relaxation (same alpha/semantics as the condensed OSQP
+        # iteration, qp_admm.solve): relax both the iterate carry and
+        # the constraint image before the projection — ~1.5x fewer
+        # iterations to a given residual on this family (measured;
+        # what qualified the h=16 stagewise line for production)
+        U_new = a * U_t + (1.0 - a) * U
+        Fu_t = _pcone_apply(F, U_t)
+        Fu_r = a * Fu_t + (1.0 - a) * z
+        z_new = jnp.clip(Fu_r + y / rho, l_p, u_p)
+        y_new = y + rho * (Fu_r - z_new)
         return (U_new, z_new, y_new), None
 
     (U, z, y), _ = jax.lax.scan(
@@ -653,6 +678,81 @@ def solve(
     # unpack: (h, r, B) -> (batch..., h, r)
     unpack = lambda t: jnp.moveaxis(t, -1, 0).reshape(batch + t.shape[:-1])
     return unpack(U), {"z": unpack(z), "y": unpack(y)}
+
+
+def kkt_residuals(
+    prob: StagewiseProblem,
+    U: jnp.ndarray,        # (..., h, 12)
+    z: jnp.ndarray,        # (..., h, 20)
+    y: jnp.ndarray,        # (..., h, 20)
+) -> dict[str, jnp.ndarray]:
+    """Primal/dual residual norms (per instance) for the stagewise solve.
+
+    Same quantities as qp_admm.kkt_residuals, computed natively in stage
+    space (the condensed P/q are f32-meaningless past h ~ 20, which is
+    the whole point of this path): the stagewise objective equals the
+    condensed one exactly (module docstring), so its gradient
+    grad_k = R u_k + Bd' mu_{k+1} — with the costate recursion
+    mu_k = Q (x_k - xref_{k-1}) + Ad' mu_{k+1} over the rolled-out
+    states — is the same vector qp_admm audits as P x + q.  All
+    matmul-like contractions run at HIGHEST precision (the audit must
+    not be noisier than what it audits).
+    """
+    hp = jax.lax.Precision.HIGHEST
+    h = U.shape[-2]
+    dtype = U.dtype
+    mv = lambda a, b: jnp.einsum("...ij,...j->...i", a, b, precision=hp)
+    batch = prob.x0.shape[:-1]
+    Ad = jnp.broadcast_to(prob.Ad, batch + (NX, NX))
+    Bd = jnp.broadcast_to(prob.Bd, batch + (NX, NU))
+    per_step_c = prob.c.ndim == prob.x0.ndim + 1
+    c_seq = (
+        jnp.moveaxis(jnp.broadcast_to(prob.c, batch + (h, NX)), -2, 0)
+        if per_step_c
+        else jnp.broadcast_to(prob.c, (h,) + batch + (NX,))
+    )
+    U_t = jnp.moveaxis(jnp.broadcast_to(U, batch + (h, NU)), -2, 0)
+
+    # forward rollout x_1..x_h
+    def fwd(x, inp):
+        u_k, c_k = inp
+        x_next = mv(Ad, x) + mv(Bd, u_k) + c_k
+        return x_next, x_next
+
+    _, xs = jax.lax.scan(fwd, prob.x0, (U_t, c_seq))       # (h, ..., 13) = x_1..x_h
+
+    # costate backward: mu_k = Q (x_k - xref_{k-1}) + Ad' mu_{k+1}
+    Qd = prob.Q.astype(dtype)
+    xref_t = jnp.moveaxis(
+        jnp.broadcast_to(prob.x_ref, batch + (h, NX)), -2, 0
+    )
+    grad_x = Qd * (xs - xref_t)                             # (h, ..., 13)
+    AdT = jnp.swapaxes(Ad, -1, -2)
+
+    def bwd(mu, gx):
+        mu_new = gx + mv(AdT, mu)
+        return mu_new, mu_new
+
+    _, mus = jax.lax.scan(
+        bwd, jnp.zeros(batch + (NX,), dtype), grad_x, reverse=True
+    )                                                       # mus[k] = mu_{k+1}
+    BdT = jnp.swapaxes(Bd, -1, -2)
+    grad_u = prob.R.astype(dtype) * U_t + mv(BdT, mus)      # (h, ..., 12)
+    grad_u = jnp.moveaxis(grad_u, 0, -2)                    # (..., h, 12)
+
+    F = prob.F.astype(dtype)
+    u4 = U.reshape(batch + (h, 4, 3))
+    ax = jnp.einsum("ca,...ka->...kc", F, u4, precision=hp)
+    ax = ax.reshape(batch + (h, 20))
+    y4 = y.reshape(batch + (h, 4, 5))
+    fty = jnp.einsum("ca,...kc->...ka", F, y4, precision=hp)
+    fty = fty.reshape(batch + (h, 12))
+
+    r_prim = jnp.max(jnp.abs(ax - z), axis=(-1, -2))
+    r_dual = jnp.max(jnp.abs(grad_u + fty), axis=(-1, -2))
+    viol = jnp.maximum(ax - prob.u, prob.l - ax)
+    r_feas = jnp.max(jnp.maximum(viol, 0.0), axis=(-1, -2))
+    return {"primal": r_prim, "dual": r_dual, "feas": r_feas}
 
 
 def solve_blocked(
@@ -682,17 +782,21 @@ def solve_blocked(
     # factorize ONCE: the LQR quadratics don't depend on the iterate
     gains = lqr_factorize(prob, G)
 
+    a = jnp.asarray(cfg.over_relax, dtype)
+
     def iteration(carry, _):
         U, z, y = carry
         r_lin = con.apply_T(
             prob.F, (rho * z - y).reshape(batch + (h * 20,))
         ).reshape(batch + (h, NU))
-        U_new = lqr_apply(gains, prob, r_lin)
-        Fu_new = con.apply(prob.F, U_new.reshape(batch + (h * NU,))).reshape(
+        U_t = lqr_apply(gains, prob, r_lin)
+        U_new = a * U_t + (1.0 - a) * U
+        Fu_t = con.apply(prob.F, U_t.reshape(batch + (h * NU,))).reshape(
             batch + (h, 20)
         )
-        z_new = jnp.clip(Fu_new + y / rho, l_flat, u_flat)
-        y_new = y + rho * (Fu_new - z_new)
+        Fu_r = a * Fu_t + (1.0 - a) * z
+        z_new = jnp.clip(Fu_r + y / rho, l_flat, u_flat)
+        y_new = y + rho * (Fu_r - z_new)
         return (U_new, z_new, y_new), None
 
     (U, z, y), _ = jax.lax.scan(

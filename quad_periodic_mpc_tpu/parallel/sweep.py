@@ -143,7 +143,11 @@ def run_sweep(
 
     plant = srb_sim.init_plant(batch, body_height=0.29, dtype=dtype)
     obs = srb_sim.observe(plant)
-    ctrl = mpc_mod.init_state(batch, obs, dtype=dtype, horizon=mpc_cfg.horizon)
+    ctrl = mpc_mod.init_state(
+        batch, obs, window=est_cfg.window, dtype=dtype,
+        horizon=mpc_cfg.horizon,
+        formulation=getattr(solver, "formulation", "condensed"),
+    )
     ctrl = ctrl._replace(iteration=iters)
     cmd = mpc_mod.Command(
         vx=jnp.full(batch, spec.vx, dtype),

@@ -265,3 +265,35 @@ def test_ls6_closed_loop_lateral_disturbance():
     rms_on = np.sqrt((vy_on[450:] ** 2).mean())
     rms_off = np.sqrt((vy_off[450:] ** 2).mean())
     assert rms_on < 0.7 * rms_off, (rms_on, rms_off)
+
+
+def test_estimator_static_and_off_arms():
+    """A/B baseline arms (paper experiment): "off" feeds zeros to the QP;
+    "static" feeds only the EMA'd raw residual once released — it tracks
+    the DC offset of the disturbance but not the sinusoid."""
+    import jax.numpy as jnp
+    import numpy as np
+    from quad_periodic_mpc_tpu.config import EstimatorConfig
+    from quad_periodic_mpc_tpu.ops import estimator as est_ops
+
+    window = 32
+    st_off = est_ops.init((), window=window)
+    st_static = est_ops.init((), window=window)
+    cfg_off = EstimatorConfig(mode="off", window=window, ls_release=window)
+    cfg_st = EstimatorConfig(mode="static", window=window, ls_release=window,
+                             ema_static=0.9)
+    dt = 0.026
+    for k in range(3 * window):
+        t = jnp.asarray(k * dt)
+        f_ext = jnp.zeros(6).at[3].set(-10.0 + 15.0 * jnp.sin(
+            2 * np.pi * 0.33 * t))
+        st_off, f_off = est_ops.update(st_off, t, f_ext, cfg_off)
+        st_static, f_st = est_ops.update(st_static, t, f_ext, cfg_st)
+        assert float(jnp.abs(f_off).max()) == 0.0
+    # static arm released: fx channel tracks the EMA of the residual
+    # (near the DC offset -10, well within the sinusoid's +-15 swing)
+    fx = float(f_st[3])
+    assert fx != 0.0
+    assert -25.0 < fx < 5.0
+    # and only channel 3 is fed (reference tracks f_ext[3] only)
+    assert float(jnp.abs(jnp.asarray(f_st).at[3].set(0.0)).max()) == 0.0

@@ -52,7 +52,7 @@ def test_15_types_enumerated():
 def test_trot_matches_numpy_recurrence():
     dt = 0.002
     gd = gs.gait_data_init(gait="trot")
-    p, sw, off, sc, en = gs.GAIT_TABLE["trot"]
+    p, sw, off, sc, en, _ip = gs.GAIT_TABLE["trot"]
     ref = {
         "current": gs.GAIT_IDS["trot"], "period": p, "switching": sw,
         "phase": np.array(off, float), "scale": np.array(sc, float),
@@ -199,3 +199,33 @@ def test_batched_mixed_modes_lockstep():
     assert abs(float(gd.period_nominal[2]) - 0.7) < 1e-6
     assert abs(float(gd.period_nominal[1]) - 0.4) < 1e-6
     assert out.contact.shape == (3, 4)
+
+
+def test_pace_initial_phase_quarter_period():
+    """PACE is the one createGait case that seeds initialPhase = 0.25
+    (GaitScheduler.cpp:387): per-foot phases start at 0.25 + offset and
+    the trajectory matches the NumPy oracle from that seed."""
+    dt = 0.002
+    gd = gs.gait_data_init(gait="pace")
+    p, sw, off, sc, en, ip = gs.GAIT_TABLE["pace"]
+    assert ip == 0.25
+    np.testing.assert_allclose(
+        np.asarray(gd.phase), (np.array(off) + 0.25) * np.array(en),
+        atol=1e-6,
+    )
+    ref = {
+        "current": gs.GAIT_IDS["pace"], "period": p, "switching": sw,
+        "phase": (np.array(off, float) + ip) * np.array(en, float),
+        "scale": np.array(sc, float),
+        "enabled": np.array(en, float), "initial_phase": ip,
+        "contact_sched": np.zeros(4), "contact_prev": np.zeros(4),
+    }
+    step = jax.jit(lambda g: gs.step_full(g, dt))
+    for i in range(200):
+        gd, out = step(gd)
+        c_ref = numpy_reference_step(ref, dt)
+        np.testing.assert_allclose(
+            np.asarray(gd.phase), ref["phase"], atol=1e-5,
+            err_msg=f"tick {i}",
+        )
+        np.testing.assert_allclose(np.asarray(out.contact), c_ref)

@@ -63,3 +63,34 @@ def test_ns_inverse_bucket_handles_mixed_seeds():
     )
     rg = np.abs(np.asarray(Xg) @ np.asarray(K) - np.eye(n)).max(axis=(-2, -1))
     assert rg.max() < 5e-3, rg.max()
+
+
+def test_ns_inverse_bucket_rescues_indefinite_seed():
+    """An f32-rounded INDEFINITE warm seed (negative eigenvalue, trace
+    still positive) defeats the alpha-rescale spectral argument — the
+    bucket rounds diverge on that instance.  The post-contraction
+    re-check must catch it and restart cold (ADVICE r3)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from quad_periodic_mpc_tpu.ops import linalg
+
+    rng = np.random.default_rng(5)
+    B, n = 16, 24
+    G = rng.normal(size=(B, n, n))
+    K = jnp.asarray(G @ np.swapaxes(G, -1, -2) + 5.0 * np.eye(n), jnp.float32)
+    K_inv = np.linalg.inv(np.asarray(K, np.float64))
+
+    # instance 0: X0 = (I - 2 e1 e1') K^{-1} => M = X0 K = I - 2 e1 e1'
+    # (spectrum {1, ..., 1, -1}; trace = n - 2 > 0.1 n so the degenerate-
+    # seed gate does NOT fire; r = 2 so it lands in the rescale class,
+    # where alpha M has eigenvalue -1.2 and NS diverges to NaN/inf)
+    R = np.eye(n)
+    R[0, 0] = -1.0
+    X0 = np.array(K_inv, np.float32)
+    X0[0] = (R @ K_inv[0]).astype(np.float32)
+    X = linalg.ns_inverse_bucket(
+        jnp.asarray(K), jnp.asarray(X0), warm_iters=1, cold_iters=14
+    )
+    r = np.abs(np.asarray(X) @ np.asarray(K) - np.eye(n)).max(axis=(-2, -1))
+    assert np.isfinite(r).all(), r
+    assert r.max() < 5e-3, r.max()

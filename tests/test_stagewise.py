@@ -178,3 +178,37 @@ def test_packed_solve_batched():
         np.testing.assert_allclose(
             np.asarray(U3[i]), np.asarray(Ui), atol=1e-4
         )
+
+
+def test_stagewise_kkt_residuals_match_condensed():
+    """qp_stagewise.kkt_residuals computes the SAME primal/dual quantities
+    as qp_admm.kkt_residuals (the objectives are equal, so the stagewise
+    costate gradient must equal the condensed P x + q vector)."""
+    from quad_periodic_mpc_tpu.ops import qp_admm
+
+    qp, sw, cfg, _ = make_problems(horizon=10, seed=7)
+    h = cfg.horizon
+    U, info = qp_stagewise.solve(sw, ADMMConfig(iterations=150))
+    res_sw = qp_stagewise.kkt_residuals(sw, U, info["z"], info["y"])
+    res_cond = qp_admm.kkt_residuals(
+        qp,
+        U.reshape(-1).astype(qp.P.dtype),
+        info["z"].reshape(-1).astype(qp.P.dtype),
+        info["y"].reshape(-1).astype(qp.P.dtype),
+    )
+    # primal is the identical formula; dual goes through the costate
+    # recursion vs the condensed GEMM — agreement to f32 roundoff at
+    # force-gradient scale
+    np.testing.assert_allclose(
+        float(res_sw["primal"]), float(res_cond["primal"]), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(res_sw["feas"]), float(res_cond["feas"]), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(res_sw["dual"]), float(res_cond["dual"]),
+        rtol=5e-2, atol=2e-4,
+    )
+    # residuals of a 150-iteration solve must be small in absolute terms
+    assert float(res_sw["primal"]) < 6e-3
+    assert float(res_sw["dual"]) < 1e-3
