@@ -94,21 +94,35 @@ def main() -> None:
     # (tests/test_closed_loop.py::test_trot_admm30_warm_matches_pdip)
     ap.add_argument("--admm-iters", type=int, default=30)
     # pallas = fused VMEM-resident kernel with HIGHEST-precision
-    # in-kernel cone products — the production default: 153.8k walking
-    # solves/s at batch 2048 with KKT primal 6.4e-4 / dual 7.3e-4
-    # (both ~10x under the 6e-3 gate; the headline audit phase measures
-    # this exact config).  xla = HIGHEST-precision lax.scan loop, the
-    # accuracy-reference (111.9k, primal 6.7e-4).  The default run also
-    # measures the f32-resident pallas variant with its own KKT audit
-    # (pallas_* fields) so every published number carries its gate.
+    # in-kernel cone products and f32-resident K^{-1} — the production
+    # default since round 4 (the bf16-K^{-1} variant measured ~4.5 N
+    # from the qpOASES optimum in weakly-penalized force directions,
+    # parity table "production" row; f32 measures 2.6e-3 N at ~1.3%
+    # lower throughput).  xla = HIGHEST-precision lax.scan loop, the
+    # accuracy reference.  The default run also measures the bf16
+    # throughput variant with its own KKT audit (pallas_bf16_* fields)
+    # so both variants carry gates.
     ap.add_argument("--backend", choices=["xla", "pallas"], default="pallas",
                     help="ADMM iteration-loop backend for the headline")
+    # round 4: the headline moves to the fused stagewise Riccati-ADMM
+    # kernel (ops/pallas/stagewise_kernel.py) — sequential in-VMEM
+    # factorize + resident-gain iterations, 8.9 ms/step at batch 2048
+    # (229k solves/s, primal 1.8e-3) vs 13.3 ms for the condensed
+    # pallas path it replaces.  The condensed path remains a measured
+    # secondary line (condensed_* fields) — it is the b=1 latency
+    # choice and the reference-shaped formulation.
+    ap.add_argument("--formulation", choices=["stagewise", "condensed"],
+                    default="stagewise",
+                    help="headline QP formulation")
     ap.add_argument("--no-p99", action="store_true",
                     help="skip the b=1 on-device p99 latency phase")
     ap.add_argument("--no-longhorizon", action="store_true",
                     help="skip the h=32 stagewise second metric")
     ap.add_argument("--no-h16", action="store_true",
                     help="skip the reference-default h=16 line")
+    ap.add_argument("--h16-condensed", action="store_true",
+                    help="run the h=16 line on the condensed ADMM-40 "
+                         "recipe instead of the stagewise default")
     ap.add_argument("--no-fullstack", action="store_true",
                     help="skip the MPC+WBC torque-tier line")
     ap.add_argument("--no-pallas-audit", action="store_true",
@@ -154,7 +168,8 @@ def main() -> None:
     loop_cfg = LoopConfig()
     est_cfg = EstimatorConfig()
     solver = (
-        ADMMConfig(iterations=args.admm_iters, backend=args.backend)
+        ADMMConfig(iterations=args.admm_iters, backend=args.backend,
+                   formulation=args.formulation)
         if args.solver == "admm"
         else PDIPConfig(iterations=25)
     )
@@ -248,7 +263,9 @@ def main() -> None:
     step_jit = jax.jit(step)
 
     def throughput(batch: int) -> float:
-        ctrl, plant, cmd, gait, dist = make_inputs(batch)
+        ctrl, plant, cmd, gait, dist = make_inputs(
+            batch, formulation=args.formulation
+        )
         ctrl, plant, f = step_jit(ctrl, plant, cmd, gait, dist)
         float(jnp.sum(f))                     # hard sync (compile)
         n = args.iters
@@ -294,6 +311,7 @@ def main() -> None:
     if best_b:
         try:
             from quad_periodic_mpc_tpu.ops import qp_admm
+            from quad_periodic_mpc_tpu.ops import qp_stagewise as _qs
 
             def step_audit(ctrl, plant, cmd, gait, dist):
                 obs = S.observe(plant)
@@ -302,9 +320,19 @@ def main() -> None:
                     ctrl, obs, cmd, gait, plant.t, mpc_cfg, loop_cfg,
                     est_cfg, solver, return_qp=True,
                 )
-                res = qp_admm.kkt_residuals(
-                    qp, ctrl.warm_x, ctrl.warm_z, ctrl.warm_y
-                )
+                lead = obs.p.shape[:-1]
+                hh = mpc_cfg.horizon
+                if getattr(solver, "formulation", "condensed") == "stagewise":
+                    res = _qs.kkt_residuals(
+                        qp,
+                        ctrl.warm_x.reshape(lead + (hh, 12)),
+                        ctrl.warm_z.reshape(lead + (hh, 20)),
+                        ctrl.warm_y.reshape(lead + (hh, 20)),
+                    )
+                else:
+                    res = qp_admm.kkt_residuals(
+                        qp, ctrl.warm_x, ctrl.warm_z, ctrl.warm_y
+                    )
                 seg = G.segment_index(
                     gait, ctrl.iteration, loop_cfg.iterations_between_mpc
                 )
@@ -332,7 +360,9 @@ def main() -> None:
                 return ctrl, plant, res
 
             audit_jit = jax.jit(step_audit)
-            ctrl, plant, cmd, gait, dist = make_inputs(best_b)
+            ctrl, plant, cmd, gait, dist = make_inputs(
+                best_b, formulation=args.formulation
+            )
             res = None
             for _ in range(6):
                 ctrl, plant, res = audit_jit(ctrl, plant, cmd, gait, dist)
@@ -358,7 +388,9 @@ def main() -> None:
     # ---- achieved FLOP/s vs peak (roofline position) ----
     if best_b:
         try:
-            ctrl, plant, cmd, gait, dist = make_inputs(best_b)
+            ctrl, plant, cmd, gait, dist = make_inputs(
+                best_b, formulation=args.formulation
+            )
             cost = (
                 step_jit.lower(ctrl, plant, cmd, gait, dist)
                 .compile()
@@ -367,14 +399,18 @@ def main() -> None:
             if isinstance(cost, (list, tuple)):
                 cost = cost[0]
             flops_per_dispatch = float(cost.get("flops", 0.0))
+            bytes_per_dispatch = float(cost.get("bytes accessed", 0.0))
+            gbs = bytes_per_dispatch * (best / best_b) / 1e9
             tflops = flops_per_dispatch * (best / best_b) / 1e12
             # TPU v5e peak: 197 TFLOP/s bf16 / ~98.5 f32.  The MPC step is
             # small-matrix dominated, so mfu is reported for honesty, not
             # as the optimization target (HBM + VMEM latency bound).
             mfu = tflops / 197.0
-            _update(tflops=round(tflops, 3), mfu=round(mfu, 5))
+            _update(tflops=round(tflops, 3), mfu=round(mfu, 5),
+                    achieved_gbs=round(gbs, 1))
             print(f"cost: {flops_per_dispatch / best_b / 1e6:.3f} MFLOP/solve, "
-                  f"{tflops:.2f} TFLOP/s achieved, mfu {mfu:.4f}",
+                  f"{tflops:.2f} TFLOP/s achieved, mfu {mfu:.4f}, "
+                  f"{gbs:.0f} GB/s of 819 HBM ({gbs / 8.19:.0f}%)",
                   file=sys.stderr, flush=True)
         except Exception as e:
             print(f"cost_analysis unavailable: {type(e).__name__}: {e}",
@@ -425,118 +461,160 @@ def main() -> None:
             print(f"p99 phase failed: {type(e).__name__}: {e}",
                   file=sys.stderr, flush=True)
 
-    # ---- long-horizon second line: h=32 stagewise (VERDICT r1 item 5) ----
+    # ---- shared helper for the secondary lines: plant-stepped walking
+    # throughput with PROPER warmup + median-of-3 timing loops, plus a
+    # warm KKT audit on the exact problem mpc_step assembled.
+    #
+    # Warmup matters (the round-3 "23.1k vs 15.9k" mystery): for the
+    # first ~4 steps after init most warm K^{-1} seeds are still cold,
+    # so the NS bucket's lax.cond runs its full-batch fallback branch —
+    # timing from step 2 mixes that transient into the steady state
+    # (measured 64 ms/step "average" vs 44 ms steady at h=16).  Six
+    # warmup steps reach steady state; the median of 3 consecutive
+    # timed loops is what gets published (run-to-run spread is printed).
+    def walking_line(
+        label: str, field: str, horizon: int, batch: int, solver_cfg,
+        n_per_loop: int, kkt_prefix: str | None = None, warmup: int = 6,
+    ):
+        try:
+            cfg_h = MPCConfig(horizon=horizon)
+            formulation = getattr(solver_cfg, "formulation", "condensed")
+            jit_step = jax.jit(make_step(cfg_h, solver_cfg))
+            ctrl, plant, cmd, gait, dist = make_inputs(
+                batch, horizon=horizon, formulation=formulation
+            )
+            for _ in range(warmup):
+                ctrl, plant, f = jit_step(ctrl, plant, cmd, gait, dist)
+            float(jnp.sum(f))
+            loops = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                for _ in range(n_per_loop):
+                    ctrl, plant, f = jit_step(ctrl, plant, cmd, gait, dist)
+                checksum = float(jnp.sum(f))
+                loops.append((time.perf_counter() - t0) / n_per_loop)
+                if not np.isfinite(checksum):
+                    raise RuntimeError("non-finite checksum")
+            med = float(np.median(loops))
+            sps = batch / med
+            _update(**{field: round(sps, 1)})
+            spread = ", ".join(f"{t * 1e3:.1f}" for t in loops)
+            print(
+                f"{label}: {sps:,.0f} solves/s @ batch {batch} "
+                f"(median {med * 1e3:.1f} ms/step of [{spread}])",
+                file=sys.stderr, flush=True,
+            )
+
+            if kkt_prefix is None:
+                return
+            from quad_periodic_mpc_tpu.ops import qp_admm as _qa
+            from quad_periodic_mpc_tpu.ops import qp_stagewise as _qs
+
+            def audit(ctrl, plant, cmd, gait, dist):
+                obs = S.observe(plant)
+                ctrl2 = M.setup_command(ctrl, cmd, loop_cfg)
+                ctrl2, forces, qp = M.mpc_step(
+                    ctrl2, obs, cmd, gait, plant.t, cfg_h, loop_cfg,
+                    est_cfg, solver_cfg, return_qp=True,
+                )
+                lead = obs.p.shape[:-1]
+                if formulation == "stagewise":
+                    res = _qs.kkt_residuals(
+                        qp,
+                        ctrl2.warm_x.reshape(lead + (horizon, 12)),
+                        ctrl2.warm_z.reshape(lead + (horizon, 20)),
+                        ctrl2.warm_y.reshape(lead + (horizon, 20)),
+                    )
+                else:
+                    res = _qa.kkt_residuals(
+                        qp, ctrl2.warm_x, ctrl2.warm_z, ctrl2.warm_y
+                    )
+                return res
+
+            res = jax.jit(audit)(ctrl, plant, cmd, gait, dist)
+            kp = float(jnp.max(res["primal"]))
+            kd = float(jnp.max(res["dual"]))
+            _update(**{f"{kkt_prefix}_kkt_primal_max": round(kp, 6),
+                       f"{kkt_prefix}_kkt_dual_max": round(kd, 6)})
+            print(f"{label} warm KKT: primal max {kp:.2e}, dual max "
+                  f"{kd:.2e} (gates 6e-3 / 1e-3)",
+                  file=sys.stderr, flush=True)
+        except Exception as e:
+            print(f"{label} phase failed: {type(e).__name__}: {e}",
+                  file=sys.stderr, flush=True)
+
+    # ---- long-horizon lines: h=32 and h=64 stagewise ----
     # The condensed formulation is f32-range-bound past h ~ 20 (the
     # reference hard-caps h = 19, SolverMPC.cpp:113); the lane-major
-    # packed Riccati-ADMM is the long-horizon path.  Full mpc_step, end
-    # to end, batch 512.
+    # packed Riccati-ADMM is the long-horizon path, and h=64 is the
+    # capability headline the reference cannot reach at all.
+    # ---- condensed-path secondary line (the reference-shaped dense
+    # formulation; stays measured for continuity with rounds 1-3 and as
+    # the b=1 latency configuration) ----
+    if args.solver == "admm" and args.formulation == "stagewise":
+        walking_line(
+            "condensed pallas-f32 (round-3 headline config)",
+            "condensed_solves_per_s",
+            horizon=args.horizon, batch=best_b or 2048,
+            solver_cfg=ADMMConfig(iterations=args.admm_iters,
+                                  backend="pallas"),
+            n_per_loop=args.iters, kkt_prefix="condensed",
+        )
+
     if not args.no_longhorizon:
-        try:
-            lh_h = 32
-            lh_b = 512
-            lh_cfg = MPCConfig(horizon=lh_h)
-            lh_solver = ADMMConfig(
-                iterations=args.admm_iters, formulation="stagewise"
-            )
-            lh_jit = jax.jit(make_step(lh_cfg, lh_solver))
-            ctrl, plant, cmd, gait, dist = make_inputs(
-                lh_b, horizon=lh_h, formulation="stagewise"
-            )
-            ctrl, plant, f = lh_jit(ctrl, plant, cmd, gait, dist)
-            float(jnp.sum(f))
-            n = max(args.iters // 2, 5)
-            t0 = time.perf_counter()
-            for _ in range(n):
-                ctrl, plant, f = lh_jit(ctrl, plant, cmd, gait, dist)
-            checksum = float(jnp.sum(f))
-            dt = time.perf_counter() - t0
-            if np.isfinite(checksum):
-                lh_sps = lh_b * n / dt
-                _update(h32_stagewise_solves_per_s=round(lh_sps, 1))
-                print(
-                    f"h=32 stagewise end-to-end: {lh_sps:,.0f} solves/s "
-                    f"@ batch {lh_b} ({dt / n * 1e3:.1f} ms/step)",
-                    file=sys.stderr, flush=True,
-                )
-        except Exception as e:
-            print(f"long-horizon phase failed: {type(e).__name__}: {e}",
-                  file=sys.stderr, flush=True)
+        # iterations=50: at the long horizons the warm carry covers a
+        # smaller fraction of the constraint set — ADMM-30 measured
+        # primal 9e-3 (above the gate), ADMM-50 2.2e-4 (40x under)
+        lh_solver = ADMMConfig(iterations=50, formulation="stagewise",
+                               backend="pallas")
+        walking_line(
+            "h=32 stagewise end-to-end", "h32_stagewise_solves_per_s",
+            horizon=32, batch=512, solver_cfg=lh_solver,
+            n_per_loop=max(args.iters // 4, 5), kkt_prefix="h32",
+        )
+        walking_line(
+            "h=64 stagewise end-to-end", "h64_stagewise_solves_per_s",
+            horizon=64, batch=256, solver_cfg=lh_solver,
+            n_per_loop=max(args.iters // 4, 5), kkt_prefix="h64",
+            warmup=4,
+        )
 
     # ---- reference-default operating point: h=16 (ros_config.yaml:93,
     # ConvexMPCLocomotion.cpp:14), same plant-stepped methodology ----
+    # Round 4 moves this line to the STAGEWISE formulation on the fused
+    # pallas kernel (ops/pallas/stagewise_kernel.py): sequential
+    # in-VMEM Riccati + resident-gain ADMM runs the h=16 walking step in
+    # 9.1 ms at batch 1024 (112k solves/s, primal 3.8e-4 at ADMM-40) vs
+    # 44 ms for the round-3 condensed ADMM-40 recipe (kept available
+    # via --h16-condensed) and 34.6 ms for the XLA stagewise path.
     if not args.no_h16:
-        try:
-            h16_b = 1024
-            h16_cfg = MPCConfig(horizon=16)
-            # gate-passing h=16 config (tools probe, walking 1024):
-            # ADMM-40 + DEFAULT-precision NS bucket + one HIGH polish
-            # round measures primal ~2.0e-3 / dual ~1.4e-4 — better than
-            # all-HIGHEST rounds (4.2e-3 / 2.0e-4) at equal speed (the
-            # polish squares the bf16 floor once).  ADMM-30 with no
-            # polish sat ABOVE the 6e-3 gate (1.4e-2).  xla loop: the
-            # accuracy-reference backend at this secondary line (pallas
-            # at n=192 measured slower AND dual-degraded).
-            h16_solver = (
-                ADMMConfig(iterations=40, ns_cold_iters=14,
-                           ns_bucket_precision="default", ns_polish=1)
-                if args.solver == "admm" else solver
+        if args.solver != "admm":
+            h16_solver = solver
+        elif args.h16_condensed:
+            h16_solver = ADMMConfig(
+                iterations=40, ns_cold_iters=14,
+                ns_bucket_precision="default", ns_polish=1,
             )
-            h16_jit = jax.jit(make_step(h16_cfg, h16_solver))
-            ctrl, plant, cmd, gait, dist = make_inputs(h16_b, horizon=16)
-            ctrl, plant, f = h16_jit(ctrl, plant, cmd, gait, dist)
-            float(jnp.sum(f))
-            n = max(args.iters // 2, 5)
-            t0 = time.perf_counter()
-            for _ in range(n):
-                ctrl, plant, f = h16_jit(ctrl, plant, cmd, gait, dist)
-            checksum = float(jnp.sum(f))
-            dt = time.perf_counter() - t0
-            if np.isfinite(checksum):
-                sps16 = h16_b * n / dt
-                _update(h16_solves_per_s=round(sps16, 1))
-                print(
-                    f"h=16 condensed end-to-end: {sps16:,.0f} solves/s "
-                    f"@ batch {h16_b} ({dt / n * 1e3:.1f} ms/step)",
-                    file=sys.stderr, flush=True,
-                )
+        else:
+            h16_solver = ADMMConfig(
+                iterations=40, formulation="stagewise", backend="pallas"
+            )
+        walking_line(
+            "h=16 end-to-end", "h16_solves_per_s",
+            horizon=16, batch=1024, solver_cfg=h16_solver,
+            n_per_loop=max(args.iters // 2, 5), kkt_prefix="h16",
+        )
 
-            # h16 carries its own gate, like every published number
-            from quad_periodic_mpc_tpu.ops import qp_admm as _qa16
-
-            def h16_audit(ctrl, plant, cmd, gait, dist):
-                obs = S.observe(plant)
-                ctrl = M.setup_command(ctrl, cmd, loop_cfg)
-                ctrl, forces, qp = M.mpc_step(
-                    ctrl, obs, cmd, gait, plant.t, h16_cfg, loop_cfg,
-                    est_cfg, h16_solver, return_qp=True,
-                )
-                res = _qa16.kkt_residuals(
-                    qp, ctrl.warm_x, ctrl.warm_z, ctrl.warm_y
-                )
-                return ctrl, res
-
-            h16a = jax.jit(h16_audit)
-            ctrl, res = h16a(ctrl, plant, cmd, gait, dist)
-            kp16 = float(jnp.max(res["primal"]))
-            kd16 = float(jnp.max(res["dual"]))
-            _update(h16_kkt_primal_max=round(kp16, 6),
-                    h16_kkt_dual_max=round(kd16, 6))
-            print(f"h=16 warm KKT: primal max {kp16:.2e}, dual max "
-                  f"{kd16:.2e} (gates 6e-3 / 1e-3)",
-                  file=sys.stderr, flush=True)
-        except Exception as e:
-            print(f"h16 phase failed: {type(e).__name__}: {e}",
-                  file=sys.stderr, flush=True)
-
-    # ---- accuracy-gated pallas backend line (f32-resident K^{-1},
-    # HIGHEST in-kernel cone products) at the headline batch ----
+    # ---- accuracy-gated bf16-K^{-1} pallas variant at the headline
+    # batch (the throughput-first option; the headline itself runs the
+    # f32-resident production default) ----
     if not args.no_pallas_audit and best_b and args.solver == "admm":
         try:
             from quad_periodic_mpc_tpu.ops import qp_admm as _qa
 
             pl_solver = ADMMConfig(
                 iterations=args.admm_iters, backend="pallas",
-                pallas_bf16_kinv=False,
+                pallas_bf16_kinv=True,
             )
             pl_jit = jax.jit(make_step(mpc_cfg, pl_solver))
             ctrl, plant, cmd, gait, dist = make_inputs(best_b)
@@ -550,9 +628,9 @@ def main() -> None:
             dt = time.perf_counter() - t0
             if np.isfinite(checksum):
                 sps_pl = best_b * n / dt
-                _update(pallas_solves_per_s=round(sps_pl, 1))
+                _update(pallas_bf16_solves_per_s=round(sps_pl, 1))
                 print(
-                    f"pallas f32-resident: {sps_pl:,.0f} solves/s "
+                    f"pallas bf16-K^-1: {sps_pl:,.0f} solves/s "
                     f"@ batch {best_b} ({dt / n * 1e3:.1f} ms/step)",
                     file=sys.stderr, flush=True,
                 )
@@ -588,10 +666,10 @@ def main() -> None:
                 ctrl, plant, res = pl_audit_jit(ctrl, plant, cmd, gait, dist)
             pkp = float(jnp.max(res["primal"]))
             pkd = float(jnp.max(res["dual"]))
-            _update(pallas_kkt_primal_max=round(pkp, 6),
-                    pallas_kkt_dual_max=round(pkd, 6))
+            _update(pallas_bf16_kkt_primal_max=round(pkp, 6),
+                    pallas_bf16_kkt_dual_max=round(pkd, 6))
             print(
-                f"pallas f32 warm-step-6 KKT: primal max {pkp:.2e}, "
+                f"pallas bf16 warm-step-6 KKT: primal max {pkp:.2e}, "
                 f"dual max {pkd:.2e} (gate 6e-3)",
                 file=sys.stderr, flush=True,
             )
@@ -640,26 +718,32 @@ def main() -> None:
                 return carry.plant, carry.ctrl
 
             fs_jit = jax.jit(fs_period)
-            plant, fs_ctrl = fs_jit(plant, fs_ctrl)
+            # 3 warmup periods: settle the plant's contact transient and
+            # the ADMM warm carry (the round-3 359 -> 1065 periods/s
+            # spread was dominated by where in the transient the timed
+            # window started; VERDICT r3 weak #6)
+            for _ in range(3):
+                plant, fs_ctrl = fs_jit(plant, fs_ctrl)
             float(jnp.sum(plant.fb.pos))
             n = 10
             times = []
-            t0 = time.perf_counter()
             for _ in range(n):
                 t1 = time.perf_counter()
                 plant, fs_ctrl = fs_jit(plant, fs_ctrl)
                 float(jnp.sum(plant.fb.pos))   # per-dispatch fence
                 times.append(time.perf_counter() - t1)
-            dt = time.perf_counter() - t0
             checksum = float(jnp.sum(plant.fb.pos))
             if np.isfinite(checksum):
                 # one "solve" = one full MPC period of the torque stack:
                 # 1 MPC solve + 13 WBC (KinWBC+WBIC) ticks + 130 plant
-                # substeps per instance
-                fs_sps = fs_b * n / dt
+                # substeps per instance.  MEDIAN period (not mean): the
+                # published number must be stable across driver runs.
+                med = float(np.median(times))
+                fs_sps = fs_b / med
                 tick_ms = np.asarray(times) * 1e3 / 13.0
                 _update(
                     fullstack_solves_per_s=round(fs_sps, 1),
+                    fullstack_ms_per_period_median=round(med * 1e3, 2),
                     fullstack_tick_p99_ms=round(
                         float(np.percentile(tick_ms, 99)), 4
                     ),
@@ -667,10 +751,95 @@ def main() -> None:
                 print(
                     f"full-stack (MPC+WBC+torques): {fs_sps:,.0f} "
                     f"periods/s @ batch {fs_b} "
-                    f"({dt / n * 1e3:.1f} ms/period, batched tick p99 "
+                    f"(median {med * 1e3:.1f} ms/period of "
+                    f"[{', '.join(f'{t*1e3:.0f}' for t in times)}], "
+                    f"batched tick p99 "
                     f"{float(np.percentile(tick_ms, 99)):.2f} ms)",
                     file=sys.stderr, flush=True,
                 )
+
+            # ---- b=1 full-stack tick latency (VERDICT r3 missing #1):
+            # the reference IS a single-robot 500 Hz controller with a
+            # 2 ms tick budget (be2r_cmpc_unitree.hpp:49), WBC every
+            # tick (WBC_Ctrl.cpp:60-205).  Chain 2 MPC periods (26
+            # ticks: 2 MPC solves + 26 WBC+torque ticks + 260 plant
+            # substeps) per dispatch at b=1 and divide; p99 over 30
+            # dispatches.  NOTE the measured tick INCLUDES the 10
+            # articulated-plant substeps (the environment the reference
+            # offloads to RaiSim); the plant-only chain below isolates
+            # that share so the controller-only margin is quotable.
+            b1 = 1
+            plant1 = art.init_on_ground(
+                (b1,), penetration=3.8e-3, dtype=dtype
+            )
+            obs1, _, _ = FS.observe_plant(plant1, MC)
+            ctrl1 = M.init_state((b1,), obs1, dtype=dtype)
+            cmd1 = M.Command(
+                vx=jnp.full((b1,), 0.15, dtype),
+                vy=jnp.zeros((b1,), dtype),
+                yaw_rate=jnp.zeros((b1,), dtype),
+                body_height=plant1.fb.pos[..., 2],
+            )
+            K_periods = 2
+
+            def fs_b1_chain(plant, ctrl):
+                carry, _ = FS.rollout_articulated(
+                    K_periods, plant, ctrl, cmd1, fs_gait, MC,
+                    mpc_cfg=fs_cfg, solver=fs_solver, use_wbc=True,
+                    substeps=10,
+                )
+                return carry.plant, carry.ctrl
+
+            b1_jit = jax.jit(fs_b1_chain)
+            for _ in range(2):
+                plant1, ctrl1 = b1_jit(plant1, ctrl1)
+            float(jnp.sum(plant1.fb.pos))
+            ticks = 13 * K_periods
+            tlat = []
+            for _ in range(30):
+                t1 = time.perf_counter()
+                plant1, ctrl1 = b1_jit(plant1, ctrl1)
+                float(jnp.sum(plant1.fb.pos))
+                tlat.append((time.perf_counter() - t1) / ticks)
+            per_tick = np.asarray(tlat) * 1e3
+            p50t = float(np.percentile(per_tick, 50))
+            p99t = float(np.percentile(per_tick, 99))
+
+            # plant-only chain: same substep count, frozen torques —
+            # the environment share of the tick above
+            tau0 = jnp.zeros((b1, 4, 3), dtype)
+
+            def plant_chain(plant):
+                def sub(p, _):
+                    p2, _ = art.step(
+                        p, tau0, MC, dt=loop_cfg.dt / 10.0,
+                    )
+                    return p2, None
+                p2, _ = jax.lax.scan(
+                    sub, plant, None, length=10 * ticks
+                )
+                return p2
+            pc_jit = jax.jit(plant_chain)
+            p2 = pc_jit(plant1)
+            float(jnp.sum(p2.fb.pos))
+            tpl = []
+            for _ in range(10):
+                t1 = time.perf_counter()
+                p2 = pc_jit(p2)
+                float(jnp.sum(p2.fb.pos))
+                tpl.append((time.perf_counter() - t1) / ticks)
+            plant_ms = float(np.median(tpl)) * 1e3
+            _update(
+                fullstack_b1_tick_p99_ms=round(p99t, 4),
+                fullstack_b1_tick_plant_ms=round(plant_ms, 4),
+            )
+            print(
+                f"b=1 full-stack tick (MPC/13 + WBC + torque + 10 plant "
+                f"substeps): p50 {p50t:.3f} ms, p99 {p99t:.3f} ms "
+                f"(budget 2 ms; plant-only share ~{plant_ms:.3f} ms, "
+                f"controller-only p99 ~{p99t - plant_ms:.3f} ms)",
+                file=sys.stderr, flush=True,
+            )
         except Exception as e:
             print(f"fullstack phase failed: {type(e).__name__}: {e}",
                   file=sys.stderr, flush=True)

@@ -164,11 +164,17 @@ class ADMMConfig:
     # "highest" — the CPU value).  The GEMV is HBM-bound, so the extra
     # bf16 passes of "highest" are ~free; default accordingly.
     iter_precision: str = "highest"    # "default" | "high" | "highest"
-    # Pallas kernel K^{-1} storage: bf16 doubles the VMEM-resident reach
-    # and is 1.7x faster, at a ~1-2% constraint-residual bias (visible as
-    # kkt_primal_max ~ 2 in the bench audit); set False for an f32-
-    # resident kernel when accuracy outranks throughput.
-    pallas_bf16_kinv: bool = True
+    # Pallas kernel K^{-1} storage.  False (f32-resident) is the
+    # production default since round 4: the bf16 operator's bias lives
+    # in the WEAKLY-PENALIZED force directions (alpha = 4e-5 curvature),
+    # where the KKT audit is nearly blind — measured ~4.5 N from the
+    # qpOASES optimum at warm x6 (parity table "production" row) while
+    # KKT primal still read 6e-4.  The f32-resident kernel measures
+    # ~2.6e-3 N at ~1.3% lower throughput (driver r03: 147.6k vs
+    # 149.5k).  True re-enables bf16 for throughput-first deployments
+    # that accept the weak-direction bias (closed-loop tracking is
+    # unaffected — those directions are weakly penalized by design).
+    pallas_bf16_kinv: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

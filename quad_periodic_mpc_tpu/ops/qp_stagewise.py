@@ -41,15 +41,27 @@ NU = 12
 
 # NS rounds for the factorization's inner inverses (the combine's
 # (I + C J)^{-1} and Quu^{-1}).  Spectral budget: the spectrum lies in
-# [1, L] with L = 1 + ||C J|| ~ 1e3 on this family (R_eff ~ 1e-3 from
-# alpha + rho F^T F vs Q ~ 1e2), the scalar seed starts the smallest
-# eigenvalue at residual 1 - 1/L, and NS squares it per round — so
-# reaching 1e-6 needs ceil(log2(L ln 1e6)) ~ 14 rounds; 16 adds margin.
-# The factorization is LAUNCH-bound on TPU (hundreds of tiny lane-major
-# kernels), so these rounds are the dominant stagewise solve cost —
-# the earlier 24 was pure waste (verified: warm KKT residuals unchanged
-# at 16, tools/time_h16_r4.py).
+# [1, L]; the smallest eigenvalue's seed residual is 1 - 1/L and NS
+# squares it per round, so reaching 1e-6 needs ~ceil(log2(L ln 1e6)).
+# L = 1 + ||C J|| grows with the SUFFIX LENGTH the combine has
+# accumulated (C_ij sums ~h/2 steps of B R_eff^{-1} B', each ~1e3
+# against Q ~ 1e2): L ~ 1e3 at h = 16 -> 16 rounds suffice, but h = 32
+# and h = 64 measured primal 9.0e-3 / 8.4e-3 (above the 6e-3 gate) at
+# a flat 16 — the budget must scale with log2(h/16).  The factorization
+# is the launch/HBM-bound stagewise cost on TPU, so rounds are paid in
+# wall-clock: ns_combine_iters(h) spends the budget each horizon needs
+# (h=16: 16, h=32: 18, h=64: 20; the pre-round-4 flat 24 overpaid the
+# short horizons while h>=32 was never audited).
 NS_COMBINE_ITERS = 16
+
+
+def ns_combine_iters(h: int) -> int:
+    """Horizon-scaled NS round budget for the factorization inverses."""
+    import math
+
+    return NS_COMBINE_ITERS + 2 * max(
+        0, math.ceil(math.log2(max(h, 16) / 16))
+    )
 
 
 class StagewiseProblem(NamedTuple):
@@ -225,6 +237,8 @@ def lqr_factorize(
     )
     from quad_periodic_mpc_tpu.ops import linalg
 
+    ns_it = ns_combine_iters(h)
+
     R_inv = linalg.ns_inverse(
         jnp.broadcast_to(R_eff, batch + (NU, NU)), iters=30,
         precision=jax.lax.Precision.HIGHEST,
@@ -270,7 +284,7 @@ def lqr_factorize(
         Ai, Ci, Ji = ei
         Aj, Cj, Jj = ej
         eye = jnp.eye(NX, dtype=dtype)
-        D = _ns_posspec_inverse(eye + mm(Ci, Jj))
+        D = _ns_posspec_inverse(eye + mm(Ci, Jj), ns_it)
         Dt = tr(D)
         AjD = mm(Aj, D)
         A = mm(AjD, Ai)
@@ -288,7 +302,7 @@ def lqr_factorize(
     M = jnp.broadcast_to(R_eff, batch + (h, NU, NU)) + mm(
         mm(tr(Bh), P), Bh
     )
-    Minv = linalg.ns_inverse(M, iters=NS_COMBINE_ITERS, precision=hi3)
+    Minv = linalg.ns_inverse(M, iters=ns_it, precision=hi3)
     Qux = mm(mm(tr(Bh), P), Ah)             # (..., h, 12, 13)
     K = mm(Minv, Qux)
     G = mm(tr(Qux), Minv)                   # (..., h, 13, 12)
@@ -477,6 +491,7 @@ def lqr_factorize_packed(
     h = x_ref.shape[0]
     B = x_ref.shape[-1]
     dtype = x_ref.dtype
+    ns_it = ns_combine_iters(h)
     from quad_periodic_mpc_tpu.ops import linalg
 
     Qm = jnp.diag(Q).astype(dtype)[..., None]                 # (13, 13, 1)
@@ -511,7 +526,7 @@ def lqr_factorize_packed(
         # reverse=True flips the sequence: first arg is the LATER element
         Ai, Ci, Ji = ei
         Aj, Cj, Jj = ej
-        D = _pns_posspec_inverse(eye + _pmm(Ci, Jj))
+        D = _pns_posspec_inverse(eye + _pmm(Ci, Jj), ns_it)
         AjD = _pmm(Aj, D)
         A = _pmm(AjD, Ai)
         C = _pmm(_pmm(AjD, Ci), _ptr(Aj)) + Cj
@@ -527,7 +542,7 @@ def lqr_factorize_packed(
     Ah = Ad[None]
     BtP = _pmm(_ptr(Bh), P)                                    # (h,12,13,B)
     M = R_eff[None, :, :, None] + _pmm(BtP, Bh)
-    Minv = _pns_posspec_inverse(M, NS_COMBINE_ITERS)
+    Minv = _pns_posspec_inverse(M, ns_it)
     Qux = _pmm(BtP, Ah)                                        # (h,12,13,B)
     K = _pmm(Minv, Qux)
     G = _pmm(_ptr(Qux), Minv)                                  # (h,13,12,B)
@@ -619,6 +634,46 @@ def solve(
     B = 1
     for d in batch:
         B *= d
+
+    # The fused kernel holds per-stage gains (K, Quu^{-1}) plus the
+    # stage sequences VMEM-resident; past h ~ 40 the scratch alone
+    # exceeds the ~16 MB VMEM budget — fall back to the XLA path there.
+    if cfg.backend == "pallas" and h <= 40:
+        # fused kernel: factorize + all iterations VMEM-resident per
+        # 128-lane chunk (ops/pallas/stagewise_kernel.py)
+        from quad_periodic_mpc_tpu.ops.pallas import stagewise_kernel
+
+        flat = lambda t, *extra: jnp.broadcast_to(
+            t, batch + extra
+        ).reshape((B,) + extra)
+        per_step_c = prob.c.ndim == prob.x0.ndim + 1
+        c_flat = (
+            flat(prob.c, h, NX) if per_step_c else flat(prob.c, NX)
+        )
+        if warm is None:
+            U0 = jnp.zeros((B, h, NU), dtype)
+            z0 = jnp.zeros((B, h, 20), dtype)
+            y0 = jnp.zeros((B, h, 20), dtype)
+        else:
+            U0, z0, y0 = (
+                flat(t, h, r) for t, r in zip(warm, (NU, 20, 20))
+            )
+        R_eff = jnp.diag(prob.R.astype(dtype)) + cfg.rho * jnp.kron(
+            jnp.eye(4, dtype=dtype),
+            jnp.swapaxes(prob.F, -1, -2) @ prob.F,
+        )
+        U, z, y = stagewise_kernel.fused_stagewise_solve(
+            flat(prob.Ad, NX, NX), flat(prob.Bd, NX, NU), c_flat,
+            flat(prob.x0, NX), flat(prob.x_ref, h, NX),
+            prob.Q.astype(dtype), R_eff, prob.F.astype(dtype),
+            flat(prob.l, h, 20), flat(prob.u, h, 20),
+            U0, z0, y0, iters=cfg.iterations, rho=float(cfg.rho),
+            over_relax=float(cfg.over_relax),
+            ns_it=ns_combine_iters(h),
+            interpret=jax.default_backend() == "cpu",
+        )
+        unflat = lambda t: t.reshape(batch + t.shape[1:]).astype(dtype)
+        return unflat(U), {"z": unflat(z), "y": unflat(y)}
 
     # pack: leading batch dims -> single minor lane axis
     pm = lambda t, r, c_: jnp.moveaxis(

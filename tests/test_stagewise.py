@@ -212,3 +212,48 @@ def test_stagewise_kkt_residuals_match_condensed():
     # residuals of a 150-iteration solve must be small in absolute terms
     assert float(res_sw["primal"]) < 6e-3
     assert float(res_sw["dual"]) < 1e-3
+
+
+def test_fused_stagewise_kernel_matches_xla():
+    """The fused pallas stagewise kernel (sequential in-VMEM Riccati +
+    resident-gain ADMM, backend='pallas') must land at the same KKT
+    quality as the XLA associative-scan path on identical problems."""
+    from quad_periodic_mpc_tpu.ops import qp_admm
+
+    qp, sw, cfg, table = make_problems(horizon=10, seed=9)
+    # batch of 3 via broadcast perturbation
+    import jax.numpy as jnp
+
+    pert = jnp.asarray([0.0, 0.01, -0.02])
+    swb = sw._replace(
+        x0=sw.x0[None, :].astype(jnp.float32) + pert[:, None],
+        Ad=jnp.broadcast_to(sw.Ad, (3, 13, 13)).astype(jnp.float32),
+        Bd=jnp.broadcast_to(sw.Bd, (3, 13, 12)).astype(jnp.float32),
+        c=jnp.broadcast_to(sw.c, (3, 13)).astype(jnp.float32),
+        x_ref=jnp.broadcast_to(sw.x_ref, (3, 10, 13)).astype(jnp.float32),
+        Q=sw.Q.astype(jnp.float32), R=sw.R.astype(jnp.float32),
+        F=sw.F.astype(jnp.float32),
+        l=jnp.broadcast_to(sw.l, (3, 10, 20)).astype(jnp.float32),
+        u=jnp.broadcast_to(sw.u, (3, 10, 20)).astype(jnp.float32),
+    )
+    U_x, info_x = qp_stagewise.solve(swb, ADMMConfig(iterations=120))
+    U_p, info_p = qp_stagewise.solve(
+        swb, ADMMConfig(iterations=120, backend="pallas")
+    )
+    res_x = qp_stagewise.kkt_residuals(swb, U_x, info_x["z"], info_x["y"])
+    res_p = qp_stagewise.kkt_residuals(swb, U_p, info_p["z"], info_p["y"])
+    # same KKT quality (the two factorizations differ algorithmically,
+    # so compare quality, then solutions within the combined floor)
+    assert float(jnp.max(res_p["primal"])) < 6e-3
+    assert float(jnp.max(res_p["dual"])) < 1e-3
+    np.testing.assert_allclose(
+        np.asarray(U_p), np.asarray(U_x), atol=2e-2
+    )
+
+    # warm round-trip shapes (the solve() carry contract)
+    warm = (U_p, info_p["z"], info_p["y"])
+    U_w, info_w = qp_stagewise.solve(
+        swb, ADMMConfig(iterations=20, backend="pallas"), warm=warm
+    )
+    res_w = qp_stagewise.kkt_residuals(swb, U_w, info_w["z"], info_w["y"])
+    assert float(jnp.max(res_w["primal"])) < 6e-3

@@ -139,6 +139,13 @@ def main() -> None:
                            ns_bucket_precision="default", ns_polish=1),
                 "condensed",
             ))
+        elif kind == "swp":
+            variants.append((
+                f"stagewise-pallas ADMM-{it}",
+                ADMMConfig(iterations=it, formulation="stagewise",
+                           backend="pallas"),
+                "stagewise",
+            ))
         else:
             variants.append((
                 f"stagewise ADMM-{it}",
