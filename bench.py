@@ -805,19 +805,26 @@ def main() -> None:
             p50t = float(np.percentile(per_tick, 50))
             p99t = float(np.percentile(per_tick, 99))
 
-            # plant-only chain: same substep count, frozen torques —
-            # the environment share of the tick above
+            # plant-only chain: same per-tick structure as the full
+            # stack (model cache hoisted per tick, 10 cached substeps),
+            # frozen torques — the environment share of the tick above
             tau0 = jnp.zeros((b1, 4, 3), dtype)
 
             def plant_chain(plant):
-                def sub(p, _):
-                    p2, _ = art.step(
-                        p, tau0, MC, dt=loop_cfg.dt / 10.0,
-                    )
+                def tick(p, _):
+                    cache = art.model_cache(p, MC)
+
+                    def sub(pp, _):
+                        pp2, _ = art.step(
+                            pp, tau0, MC, dt=loop_cfg.dt / 10.0,
+                            cache=cache,
+                        )
+                        return pp2, None
+
+                    p2, _ = jax.lax.scan(sub, p, None, length=10)
                     return p2, None
-                p2, _ = jax.lax.scan(
-                    sub, plant, None, length=10 * ticks
-                )
+
+                p2, _ = jax.lax.scan(tick, plant, None, length=ticks)
                 return p2
             pc_jit = jax.jit(plant_chain)
             p2 = pc_jit(plant1)

@@ -170,8 +170,16 @@ def rollout_articulated(
                 cmd=leg_cmd, data=data, model=model, flip_signs=False
             )
 
+        # hoist the slow-varying model terms (CRBA + inverse, gravity,
+        # Coriolis) once per control tick — they vary on the 2 ms tick
+        # scale, not the 0.2 ms substep scale (art.model_cache contract);
+        # contact kinematics stay per-substep
+        cache = art.model_cache(plant, mc)
+
         def sub(p, _):
-            p2, _ = art.step(p, tau, mc, dt=sub_dt, params=contact)
+            p2, _ = art.step(
+                p, tau, mc, dt=sub_dt, params=contact, cache=cache
+            )
             return p2, None
 
         plant, _ = jax.lax.scan(sub, plant, None, length=substeps)

@@ -23,6 +23,7 @@ from __future__ import annotations
 import dataclasses
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from quad_periodic_mpc_tpu.ops import linalg
@@ -148,6 +149,30 @@ def contact_forces(
     return jnp.concatenate([ft, fz[..., None]], axis=-1), anchor_new
 
 
+def model_cache(state: ArtState, mc: fb.ModelConstants):
+    """Hoisted slow-varying model terms for sub-tick integration.
+
+    The CRBA mass matrix, gravity, Coriolis vector, and the 18x18
+    inverse vary on the CONTROL-TICK scale (2 ms — joint configurations
+    move ~1e-3 rad per 0.2 ms substep), while the contact state (foot
+    penetration, stiction anchors) changes per substep.  Computing
+    (A^{-1}, G, C) once per tick and reusing across substeps removes
+    the dominant per-substep cost (CRBA + Schur inversion) at an
+    integration error far below the explicit integrator's own O(dt):
+    trajectories match the uncached step to <1e-4 m over a full tick
+    (tests/test_articulated_sim.py).  Foot kinematics (FK + contact
+    Jacobians) are NOT cached — contact transitions live on the
+    substep scale.
+    """
+    s = state.fb
+    A = fb.mass_matrix(s, mc)
+    return (
+        linalg.spd_inverse(A),
+        fb.generalized_gravity(s, mc),
+        fb.generalized_coriolis(s, mc),
+    )
+
+
 def step(
     state: ArtState,
     tau_joints: jnp.ndarray,        # (..., 4, 3) or (..., 12)
@@ -155,16 +180,26 @@ def step(
     dt: float = 1e-3,
     params: ContactParams = ContactParams(),
     f_ext_base: jnp.ndarray | None = None,   # (..., 3) world force at CoM
+    cache=None,                     # optional model_cache(...) result
 ) -> tuple[ArtState, jnp.ndarray]:
-    """One forward-dynamics step.  Returns (state', contact forces)."""
+    """One forward-dynamics step.  Returns (state', contact forces).
+
+    cache: optional (A^{-1}, G, C) from model_cache() computed at the
+    enclosing control tick — see its docstring for the approximation
+    contract.  None recomputes everything fresh (the exact reference
+    behavior)."""
     s = state.fb
     dtype = s.pos.dtype
     tau = tau_joints.reshape(tau_joints.shape[:-2] + (12,)) \
         if tau_joints.shape[-1] == 3 else tau_joints
 
-    A = fb.mass_matrix(s, mc)
-    G = fb.generalized_gravity(s, mc)
-    C = fb.generalized_coriolis(s, mc)
+    if cache is None:
+        A = fb.mass_matrix(s, mc)
+        G = fb.generalized_gravity(s, mc)
+        C = fb.generalized_coriolis(s, mc)
+        A_inv = None
+    else:
+        A_inv, G, C = cache
     info = fb.contact_jacobians(s, mc)
     qdot = jnp.concatenate([s.v_body, s.qd], axis=-1)
 
@@ -184,7 +219,13 @@ def step(
         f_b = jnp.einsum("...ji,...j->...i", R, f_ext_base)
         rhs = rhs.at[..., 3:6].add(f_b)
 
-    qdd = linalg.spd_solve(A, rhs)   # 18x18 SPD mass matrix
+    if A_inv is None:
+        qdd = linalg.spd_solve(A, rhs)   # 18x18 SPD mass matrix
+    else:
+        qdd = jnp.einsum(
+            "...ij,...j->...i", A_inv, rhs,
+            precision=jax.lax.Precision.HIGHEST,
+        )
 
     v_body = s.v_body + dt * qdd[..., 0:6]
     qd = s.qd + dt * qdd[..., 6:18]
