@@ -416,6 +416,50 @@ def main() -> None:
             print(f"cost_analysis unavailable: {type(e).__name__}: {e}",
                   file=sys.stderr, flush=True)
 
+    # ---- scan-chained headline (the production ROLLOUT shape): the
+    # same walking step inside lax.scan, as run_sweep/rollout execute it
+    # — isolates the relay's ~1 ms per-dispatch overhead from the
+    # device-side step cost.  Chain of 8 with full step-to-step data
+    # dependency (it IS the closed loop), 6 fenced dispatches. ----
+    if best_b:
+        try:
+            KCH = 8
+
+            def chain_steps(ctrl, plant, cmd, gait, dist):
+                def body(carry, _):
+                    ctrl, plant = carry
+                    ctrl, plant, f = step(ctrl, plant, cmd, gait, dist)
+                    return (ctrl, plant), jnp.sum(f)
+
+                (ctrl, plant), s = jax.lax.scan(
+                    body, (ctrl, plant), None, length=KCH
+                )
+                return ctrl, plant, jnp.sum(s)
+
+            ch_jit = jax.jit(chain_steps)
+            ctrl, plant, cmd, gait, dist = make_inputs(
+                best_b, formulation=args.formulation
+            )
+            ctrl, plant, s = ch_jit(ctrl, plant, cmd, gait, dist)
+            float(s)
+            t0 = time.perf_counter()
+            reps = 6
+            for _ in range(reps):
+                ctrl, plant, s = ch_jit(ctrl, plant, cmd, gait, dist)
+            checksum = float(s)
+            dt = (time.perf_counter() - t0) / (reps * KCH)
+            if np.isfinite(checksum):
+                sps_ch = best_b / dt
+                _update(scan_chained_solves_per_s=round(sps_ch, 1))
+                print(
+                    f"scan-chained rollout shape: {sps_ch:,.0f} solves/s "
+                    f"({dt * 1e3:.2f} ms/step, chain of {KCH})",
+                    file=sys.stderr, flush=True,
+                )
+        except Exception as e:
+            print(f"scan-chain phase failed: {type(e).__name__}: {e}",
+                  file=sys.stderr, flush=True)
+
     # ---- on-device b=1 p99 latency (BASELINE.md: p99 < 2 ms) ----
     # Single-dispatch latency through the axon tunnel is RTT-dominated
     # (tens of ms regardless of compute); chaining K steps inside one

@@ -84,6 +84,18 @@ def rollout_articulated(
         plant, ctrl = carry
         obs, R, info = observe_plant(plant, mc)
 
+        # ONE model evaluation per tick, shared three ways: the WBC's
+        # dynamics (A, A^{-1}, gravity, Coriolis, contact J), the
+        # plant's substep cache (A^{-1}, G, C — articulated_sim.
+        # model_cache contract), and the observation's foot kinematics
+        # (info, already computed above)
+        from quad_periodic_mpc_tpu.ops import linalg as _lin
+
+        A_t = fb.mass_matrix(plant.fb, mc)
+        Ainv_t = _lin.spd_inverse(A_t)
+        G_t = fb.generalized_gravity(plant.fb, mc)
+        C_t = fb.generalized_coriolis(plant.fb, mc)
+
         ctrl = mpc_mod.setup_command(ctrl, cmd, loop_cfg)
         if do_mpc:
             ctrl, _ = mpc_mod.mpc_step(
@@ -129,7 +141,8 @@ def rollout_articulated(
                 contact_state=out.contact_state,
             )
             wout = wbc_mod.run(
-                plant.fb, winp, mc, gains=wbc_gains, pdip=wbc_pdip
+                plant.fb, winp, mc, gains=wbc_gains, pdip=wbc_pdip,
+                model=(A_t, Ainv_t, G_t, C_t, info),
             )
             q = plant.fb.q.reshape(plant.fb.q.shape[:-1] + (4, 3))
             qd = plant.fb.qd.reshape(q.shape)
@@ -170,11 +183,9 @@ def rollout_articulated(
                 cmd=leg_cmd, data=data, model=model, flip_signs=False
             )
 
-        # hoist the slow-varying model terms (CRBA + inverse, gravity,
-        # Coriolis) once per control tick — they vary on the 2 ms tick
-        # scale, not the 0.2 ms substep scale (art.model_cache contract);
-        # contact kinematics stay per-substep
-        cache = art.model_cache(plant, mc)
+        # plant substeps reuse the tick's model terms (art.model_cache
+        # contract: inertia on the 2 ms scale, contacts per-substep)
+        cache = (Ainv_t, G_t, C_t)
 
         def sub(p, _):
             p2, _ = art.step(

@@ -357,14 +357,23 @@ def run(
     mc: fb.ModelConstants,
     gains: WBCGains = WBCGains(),
     pdip: PDIPConfig = PDIPConfig(iterations=20, kkt="spd"),
+    model=None,
 ) -> WBCOutput:
-    """Full WBC step (WBC_Ctrl::run, WBC_Ctrl.cpp:71-116)."""
+    """Full WBC step (WBC_Ctrl::run, WBC_Ctrl.cpp:71-116).
+
+    model: optional precomputed (A, Ainv, grav, cori, contact) for the
+    SAME state — the full-stack tick computes these once and shares
+    them between the WBC and the plant's substep cache
+    (articulated_sim.model_cache); None computes fresh."""
     dtype = state.pos.dtype
-    A = fb.mass_matrix(state, mc)
-    grav = fb.generalized_gravity(state, mc)
-    cori = fb.generalized_coriolis(state, mc)
-    Ainv = linalg.spd_inverse(A)   # 18x18 SPD mass matrix
-    contact = fb.contact_jacobians(state, mc)
+    if model is None:
+        A = fb.mass_matrix(state, mc)
+        grav = fb.generalized_gravity(state, mc)
+        cori = fb.generalized_coriolis(state, mc)
+        Ainv = linalg.spd_inverse(A)   # 18x18 SPD mass matrix
+        contact = fb.contact_jacobians(state, mc)
+    else:
+        A, Ainv, grav, cori, contact = model
 
     contact_mask = (inp.contact_state > 0.0).astype(dtype)
     Jc_masked = contact.Jc * contact_mask[..., None, None]
