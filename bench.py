@@ -469,12 +469,20 @@ def main() -> None:
     if not args.no_p99:
         try:
             K = 64
-            ctrl, plant, cmd, gait, dist = make_inputs(1)
-            # b=1 runs the XLA loop regardless of the headline backend:
-            # the pallas kernel pads one instance to 128 lanes (batch-
-            # throughput layout), measured ~0.10 ms/step slower here
+            # b=1 runs the stagewise fused kernel when it is the
+            # headline formulation: one 128-lane chunk per step measures
+            # p99 ~0.5 ms — better than the condensed xla loop's
+            # 0.66-1.07 (the kernel pays its lane padding once, the xla
+            # loop pays ~30 small dispatches per step inside the scan)
+            b1_form = args.formulation if args.solver == "admm" else "condensed"
+            ctrl, plant, cmd, gait, dist = make_inputs(
+                1, formulation=b1_form
+            )
             b1_solver = (
-                ADMMConfig(iterations=args.admm_iters, backend="xla")
+                ADMMConfig(iterations=args.admm_iters,
+                           backend=("pallas" if b1_form == "stagewise"
+                                    else "xla"),
+                           formulation=b1_form)
                 if args.solver == "admm" else solver
             )
             b1_step = make_step(mpc_cfg, b1_solver)

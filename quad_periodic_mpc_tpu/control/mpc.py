@@ -323,20 +323,77 @@ def mpc_step(
     )
     if isinstance(solver, ADMMConfig) and solver.formulation == "stagewise":
         # long-horizon path: no condensation, Riccati-ADMM x-update
-        from quad_periodic_mpc_tpu.ops import qp_stagewise
+        import jax
 
-        sw, pred, x0 = problem.build_stagewise(
-            qp_obs, x_ref, table, mpc, f_est=f_for_qp, x_drag=x_comp,
-            f_est_steps=f_steps, tunable=tunable,
-        )
-        lead = sw.x0.shape[:-1]
+        from quad_periodic_mpc_tpu.ops import constraints, qp_stagewise
+
+        lead = obs.p.shape[:-1]
+        h = mpc.horizon
         warm_sw = (
-            state.warm_x.reshape(lead + (mpc.horizon, 12)),
-            state.warm_z.reshape(lead + (mpc.horizon, 20)),
-            state.warm_y.reshape(lead + (mpc.horizon, 20)),
+            state.warm_x.reshape(lead + (h, 12)),
+            state.warm_z.reshape(lead + (h, 20)),
+            state.warm_y.reshape(lead + (h, 20)),
         )
-        qp_out = sw
-        U, info = qp_stagewise.solve(sw, solver, warm=warm_sw)
+        # Fused-build fast path: the SRB linearization + nilpotent ZOH
+        # discretization happen INSIDE the kernel (_kernel_srb) — the
+        # XLA build stage's scatter-heavy assembly (~2 ms at batch
+        # 2048) disappears.  Requires shared (non-per-instance) cost
+        # weights and a time-invariant disturbance term; return_qp
+        # audits go through the explicit build so the audited problem
+        # is materialized.
+        use_fused_build = (
+            solver.backend == "pallas" and h <= 40
+            and f_steps is None and tunable is None and not return_qp
+        )
+        if use_fused_build:
+            from quad_periodic_mpc_tpu.ops import condense
+            from quad_periodic_mpc_tpu.ops.pallas import stagewise_kernel
+
+            x0 = srb.pack_state(rpy, p_used, obs.omega, obs.v, mpc.gravity)
+            l, u = constraints.bounds(table, mpc.f_max, mpc.big_number)
+            batch = l.shape[:-3]
+            l = l.reshape(batch + (h, 20))
+            u = jnp.minimum(u, 1e4).reshape(batch + (h, 20))
+            F = constraints.pyramid_block(mpc.mu, dtype)
+            Qdiag = 2.0 * condense.full_weight(jnp.asarray(mpc.weights, dtype))
+            R_eff = (
+                2.0 * mpc.alpha * jnp.eye(12, dtype=dtype)
+                + solver.rho * jnp.kron(
+                    jnp.eye(4, dtype=dtype), jnp.swapaxes(F, -1, -2) @ F
+                )
+            )
+            flat = lambda t, *extra: jnp.broadcast_to(
+                t, lead + extra
+            ).reshape((-1,) + extra)
+            B_flat = 1
+            for d in lead:
+                B_flat *= d
+            U_f, z_f, y_f = stagewise_kernel.fused_stagewise_solve_srb(
+                flat(R, 3, 3), flat(r_feet, 4, 3), flat(x_comp),
+                flat(f_for_qp, 6), flat(x0, 13), flat(x_ref, h, 13),
+                Qdiag, R_eff, F, flat(l, h, 20), flat(u, h, 20),
+                flat(warm_sw[0], h, 12), flat(warm_sw[1], h, 20),
+                flat(warm_sw[2], h, 20),
+                iters=solver.iterations, rho=float(solver.rho),
+                over_relax=float(solver.over_relax),
+                ns_it=qp_stagewise.ns_combine_iters(h),
+                dt=float(mpc.dt_mpc), mass=float(mpc.mass),
+                i_inv_diag=tuple(1.0 / float(v) for v in mpc.inertia_body),
+                interpret=jax.default_backend() == "cpu",
+            )
+            U = U_f.reshape(lead + (h, 12)).astype(dtype)
+            info = {
+                "z": z_f.reshape(lead + (h, 20)).astype(dtype),
+                "y": y_f.reshape(lead + (h, 20)).astype(dtype),
+            }
+            qp_out = None
+        else:
+            sw, pred, x0 = problem.build_stagewise(
+                qp_obs, x_ref, table, mpc, f_est=f_for_qp, x_drag=x_comp,
+                f_est_steps=f_steps, tunable=tunable,
+            )
+            qp_out = sw
+            U, info = qp_stagewise.solve(sw, solver, warm=warm_sw)
         state = state._replace(
             warm_x=U.reshape(lead + (mpc.horizon * 12,)),
             warm_z=info["z"].reshape(lead + (mpc.horizon * 20,)),

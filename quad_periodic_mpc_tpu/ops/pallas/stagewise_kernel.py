@@ -71,29 +71,14 @@ def _t(a, r, c):
     return jnp.stack([a[:, j, :] for j in range(c)], axis=0)
 
 
-def _kernel(
-    Ad_ref,       # (NX, NX, C)
-    Bd_ref,       # (NX, NU, C)
-    c_ref,        # (h, NX, C)
-    x0_ref,       # (NX, C)
-    xref_ref,     # (h, NX, C)
-    l_ref,        # (h, NC, C)
-    u_ref,        # (h, NC, C)
-    U0_ref,       # (h, NU, C)
-    z0_ref,       # (h, NC, C)
-    y0_ref,       # (h, NC, C)
-    Qm_ref,       # (NX, NX) shared diag(Q)
-    Reff_ref,     # (NU, NU) shared
-    A20_ref,      # (NC, NU) shared cone matrix kron(I4, F)
-    U_out,        # (h, NU, C)
-    z_out,        # (h, NC, C)
-    y_out,        # (h, NC, C)
-    K_scr,        # (h, NU, NX, C)
-    Minv_scr,     # (h, NU, NU, C)
-    Pc_scr,       # (h, NX, C)
-    P_scr,        # (NX, NX, C)
-    p_scr,        # (h, NX, C) costate p_{k+1}
-    kf_scr,       # (h, NU, C) iteration scratch (r_lin, then Fu)
+def _solve_body(
+    Ad,           # (NX, NX, C) value
+    Bd,           # (NX, NU, C) value
+    c_get,        # k -> (NX, C) per-stage affine term
+    x0_ref, xref_ref, l_ref, u_ref, U0_ref, z0_ref, y0_ref,
+    Qm_ref, Reff_ref, A20_ref,
+    U_out, z_out, y_out,
+    K_scr, Minv_scr, Pc_scr, P_scr, p_scr, kf_scr, q_scr,
     *,
     h: int,
     iters: int,
@@ -101,10 +86,8 @@ def _kernel(
     over_relax: float,
     ns_it: int,
 ):
-    C = Ad_ref.shape[-1]
+    C = Ad.shape[-1]
     f32 = jnp.float32
-    Ad = Ad_ref[:]
-    Bd = Bd_ref[:]
     AdT = _t(Ad, NX, NX)
     BdT = _t(Bd, NX, NU)
     Qm = Qm_ref[:][:, :, None]                      # (NX, NX, 1) bcast
@@ -116,81 +99,115 @@ def _kernel(
     # terminal P_h = Qm
     P_scr[:] = jnp.broadcast_to(Qm, (NX, NX, C)).astype(f32)
 
-    def backward_stage(kk, _):
+    eyeu = jax.lax.broadcasted_iota(jnp.int32, (NU, NU), 0) == \
+        jax.lax.broadcasted_iota(jnp.int32, (NU, NU), 1)
+    eyeu = jnp.where(eyeu, 1.0, 0.0).astype(f32)[:, :, None]
+    ns_warm = max(ns_it * 2 // 3, 8)
+
+    def backward_stage(kk, X_prev):
         k = h - 1 - kk
         P = P_scr[:]
         BtP = _mm(BdT, P, NX)                       # (NU, NX, C)
         Quu = Reff + _mm(BtP, Bd, NX)               # (NU, NU, C)
-        # Newton-Schulz SPD inverse, scalar seed I/||Quu||_inf
-        absQ = jnp.abs(Quu)
-        row = absQ[:, 0, :]
-        for j in range(1, NU):
-            row = row + absQ[:, j, :]
-        norm = row[0]
-        for i in range(1, NU):
-            norm = jnp.maximum(norm, row[i])        # (C,)
-        eyeu = jax.lax.broadcasted_iota(jnp.int32, (NU, NU), 0) == \
-            jax.lax.broadcasted_iota(jnp.int32, (NU, NU), 1)
-        eyeu = jnp.where(eyeu, 1.0, 0.0).astype(f32)[:, :, None]
-        X = jnp.broadcast_to(eyeu, (NU, NU, C)) / norm[None, None, :]
 
         def ns_round(_, X):
             MX = _mm(Quu, X, NU)
             return _mm(X, 2.0 * eyeu - MX, NU)
 
-        Minv = jax.lax.fori_loop(0, ns_it, ns_round, X)
+        def cold(Xp):
+            # scalar seed I / ||Quu||_inf, full ns_it rounds
+            absQ = jnp.abs(Quu)
+            row = absQ[:, 0, :]
+            for j in range(1, NU):
+                row = row + absQ[:, j, :]
+            norm = row[0]
+            for i in range(1, NU):
+                norm = jnp.maximum(norm, row[i])    # (C,)
+            X = jnp.broadcast_to(eyeu, (NU, NU, C)) / norm[None, None, :]
+            return jax.lax.fori_loop(0, ns_it, ns_round, X)
+
+        def warm(Xp):
+            # seed from the PREVIOUS stage's inverse: Quu varies by one
+            # Riccati step along the horizon, so Xp is near-contractive;
+            # jumped lanes get the spectral alpha-rescale
+            # (linalg.ns_inverse_bucket argument: M = Xp Quu has real
+            # positive spectrum <= 1 + r, alpha = 1.8/(1+r) contracts).
+            M = _mm(Xp, Quu, NU)
+            E = jnp.abs(eyeu - M)
+            row = E[:, 0, :]
+            for j in range(1, NU):
+                row = row + E[:, j, :]
+            r = row[0]
+            for i in range(1, NU):
+                r = jnp.maximum(r, row[i])          # (C,)
+            alpha = jnp.where(r < 0.9, 1.0, 1.8 / (1.0 + r))
+            # round 1 reuses the seed product: X1 = a Xp (2I - a M)
+            X = _mm(alpha[None, None, :] * Xp,
+                    2.0 * eyeu - alpha[None, None, :] * M, NU)
+            return jax.lax.fori_loop(0, ns_warm - 1, ns_round, X)
+
+        Minv = jax.lax.cond(kk == 0, cold, warm, X_prev)
         Qux = _mm(BtP, Ad, NX)                      # (NU, NX, C)
         K = _mm(Minv, Qux, NU)                      # (NU, NX, C)
         K_scr[k] = K
         Minv_scr[k] = Minv
-        Pc_scr[k] = _mv(P, c_ref[k], NX)
+        Pc_scr[k] = _mv(P, c_get(k), NX)
         # P_k = mask_k Qm + Ad' P Ad - Qux' K  (mask_k = 0 at k = 0,
         # where P is never used — skip the masking, stage 0's P is dead)
         AtP = _mm(AdT, P, NX)
         P_new = Qm + _mm(AtP, Ad, NX) - _mm(_t(Qux, NU, NX), K, NU)
         P_new = (P_new + _t(P_new, NX, NX)) / 2.0
         P_scr[:] = P_new
-        return 0
+        return Minv
 
-    jax.lax.fori_loop(0, h, backward_stage, 0)
+    jax.lax.fori_loop(
+        0, h, backward_stage,
+        jnp.zeros((NU, NU, C), f32),
+    )
 
     # ---- ADMM iterations ----
     a = over_relax
     rho_inv = 1.0 / rho
     A20T = A20.T
 
+    # hoist the per-stage linear state cost OUT of the iteration loop:
+    # q_stage_k = -Q xref_{k-1} (zero at k = 0), q_T = -Q xref_{h-1}.
+    # Q is diagonal, so this is an elementwise scale of xref — stored
+    # once in q_scr; rebuilding the (NX, NX, C) broadcast + matvec per
+    # stage per iteration was ~15% of the iteration cost.
+    Qd = jnp.stack([Qm[i, i, :] for i in range(NX)], axis=0)  # (NX, 1)
+
+    def build_q(k, _):
+        km1 = jnp.maximum(k - 1, 0)
+        qs = -(Qd * xref_ref[km1])
+        q_scr[k] = jnp.where(k >= 1, qs, jnp.zeros_like(qs))
+        return 0
+
+    jax.lax.fori_loop(0, h, build_q, 0)
+    qT = -(Qd * xref_ref[h - 1])
+
     def iteration(_, carry):
         # carries live in the out refs (U, z, y)
-        # r_lin_k = A20' (rho z_k - y_k), all stages
-        def stage_r(k, _):
-            w = rho * z_out[k] - y_out[k]           # (NC, C)
-            kf_scr[k] = jnp.dot(
-                A20T, w, preferred_element_type=f32, precision=hp
-            )
-            return 0
-
-        jax.lax.fori_loop(0, h, stage_r, 0)
-
-        # backward costate: p_h = -Q xref_{h-1}; store p_{k+1} per k
+        # backward costate: p_h = -Q xref_{h-1}; store p_{k+1} per k.
+        # The r_lin pass is FUSED into this sweep (r_k only depends on
+        # z_k, y_k — no cross-stage coupling), saving one h-length
+        # dynamic-index loop per iteration.
         def bwd(kk, p):
             k = h - 1 - kk
             p_scr[k] = p
+            w = rho * z_out[k] - y_out[k]           # (NC, C)
+            rk = jnp.dot(
+                A20T, w, preferred_element_type=f32, precision=hp
+            )
+            kf_scr[k] = rk
             # s_k = q_stage_k + Ft_k Pc_k + K_k' r_k
             # Ft_k v = Ad' v - K_k' (Bd' v)
             K = K_scr[k]
             Pc = Pc_scr[k]
             v = Pc + p
             Ftv = _mv(AdT, v, NX) - _tmv(K, _mv(BdT, v, NX)[:NU], NU)
-            rk = kf_scr[k]
-            s = Ftv + _tmv(K, rk, NU)
-            # q_stage: -Q xref_{k-1} for k >= 1, zero at k = 0 (added
-            # via the select below; xref index k-1 clamped at 0)
-            km1 = jnp.maximum(k - 1, 0)
-            qs = -_mv(Qm * jnp.ones((1, 1, C), f32), xref_ref[km1], NX)
-            s = jnp.where(k >= 1, s + qs, s)
-            return s
+            return q_scr[k] + Ftv + _tmv(K, rk, NU)
 
-        qT = -_mv(Qm * jnp.ones((1, 1, C), f32), xref_ref[h - 1], NX)
         jax.lax.fori_loop(0, h, bwd, qT)
 
         # forward closed-loop rollout + relaxed updates
@@ -200,7 +217,7 @@ def _kernel(
             BtPp = _mv(BdT, Pc_scr[k] + p_scr[k], NX)
             kff = _mv(Minv_scr[k], BtPp - rk, NU)
             u_t = -_mv(K, x, NX) - kff              # (NU, C)
-            x_new = _mv(Ad, x, NX) + _mv(Bd, u_t, NU) + c_ref[k]
+            x_new = _mv(Ad, x, NX) + _mv(Bd, u_t, NU) + c_get(k)
             Fu_t = jnp.dot(
                 A20, u_t, preferred_element_type=f32, precision=hp
             )                                        # (NC, C)
@@ -225,6 +242,172 @@ def _kernel(
 
     jax.lax.fori_loop(0, h, seed, 0)
     jax.lax.fori_loop(0, iters, iteration, 0)
+
+
+def _kernel(
+    Ad_ref,       # (NX, NX, C)
+    Bd_ref,       # (NX, NU, C)
+    c_ref,        # (h, NX, C)
+    x0_ref,       # (NX, C)
+    xref_ref,     # (h, NX, C)
+    l_ref,        # (h, NC, C)
+    u_ref,        # (h, NC, C)
+    U0_ref,       # (h, NU, C)
+    z0_ref,       # (h, NC, C)
+    y0_ref,       # (h, NC, C)
+    Qm_ref,       # (NX, NX) shared diag(Q)
+    Reff_ref,     # (NU, NU) shared
+    A20_ref,      # (NC, NU) shared cone matrix kron(I4, F)
+    U_out,        # (h, NU, C)
+    z_out,        # (h, NC, C)
+    y_out,        # (h, NC, C)
+    K_scr, Minv_scr, Pc_scr, P_scr, p_scr, kf_scr, q_scr,
+    *,
+    h: int,
+    iters: int,
+    rho: float,
+    over_relax: float,
+    ns_it: int,
+):
+    _solve_body(
+        Ad_ref[:], Bd_ref[:], lambda k: c_ref[k],
+        x0_ref, xref_ref, l_ref, u_ref, U0_ref, z0_ref, y0_ref,
+        Qm_ref, Reff_ref, A20_ref,
+        U_out, z_out, y_out,
+        K_scr, Minv_scr, Pc_scr, P_scr, p_scr, kf_scr, q_scr,
+        h=h, iters=iters, rho=rho, over_relax=over_relax, ns_it=ns_it,
+    )
+
+
+def _kernel_srb(
+    R_ref,        # (3, 3, C) body->world rotation
+    rf_ref,       # (NU, C) r_feet flattened (foot-major xyz)
+    xd_ref,       # (1, C) x_drag
+    fe_ref,       # (6, C) f_est wrench [tau; f]
+    x0_ref, xref_ref, l_ref, u_ref, U0_ref, z0_ref, y0_ref,
+    Qm_ref, Reff_ref, A20_ref,
+    U_out, z_out, y_out,
+    K_scr, Minv_scr, Pc_scr, P_scr, p_scr, kf_scr, q_scr,
+    *,
+    h: int,
+    iters: int,
+    rho: float,
+    over_relax: float,
+    ns_it: int,
+    dt: float,
+    mass: float,
+    i_inv_diag: tuple,
+):
+    """Fused problem build: assembles the discrete SRB dynamics
+    (Ad, Bd) and the disturbance affine term c IN-KERNEL from the raw
+    observation quantities, exploiting the nilpotent closed forms
+    (models/srb.py: A^2 has only row 5 nonzero, A^3 = 0 — so
+    Adt = I + dt A + dt^2/2 A^2 and Phi = dt I + dt^2/2 A + dt^3/6 A^2
+    are direct entry assemblies, no matmul chains).  Replaces the XLA
+    build stage's scatter-heavy ct_dynamics + build_prediction (~2 ms
+    at batch 2048 — dominated by dispatch/fusion overhead on tiny
+    .at[].set chains, not arithmetic)."""
+    C = R_ref.shape[-1]
+    f32 = jnp.float32
+    dt2 = dt * dt / 2.0
+    dt3 = dt * dt * dt / 6.0
+    Rm = R_ref[:]                                   # (3, 3, C)
+    RT = _t(Rm, 3, 3)
+    xdrag = xd_ref[0]                               # (C,)
+    fe = fe_ref[:]                                  # (6, C)
+    zC = jnp.zeros((C,), f32)
+    oneC = jnp.ones((C,), f32)
+
+    # I_world^{-1} = R diag(1/I_body) R^T (i_inv_diag is STATIC python
+    # floats — an array constant would be a captured const in pallas)
+    d0, d1, d2 = (float(v) for v in i_inv_diag)
+    Rd = jnp.stack(
+        [Rm[:, 0, :] * d0, Rm[:, 1, :] * d1, Rm[:, 2, :] * d2], axis=1
+    )                                               # scale columns
+    Iinv = _mm(Rd, RT, 3)                           # (3, 3, C)
+
+    # per-foot torque blocks Tb = Iinv @ skew(r_b)
+    inv_m = 1.0 / mass
+    Tbs = []
+    RTTbs = []
+    for b in range(4):
+        rx, ry, rz = rf_ref[3 * b], rf_ref[3 * b + 1], rf_ref[3 * b + 2]
+        skew = jnp.stack([
+            jnp.stack([zC, -rz, ry], axis=0),
+            jnp.stack([rz, zC, -rx], axis=0),
+            jnp.stack([-ry, rx, zC], axis=0),
+        ], axis=0)                                   # (3, 3, C)
+        Tb = _mm(Iinv, skew, 3)
+        Tbs.append(Tb)
+        RTTbs.append(_mm(RT, Tb, 3))
+
+    # ---- Adt = I + dt A + dt^2/2 A^2 (A^2: only row 5, cols 9/12) ----
+    def e(i, j, extra=None):
+        v = oneC if i == j else zC
+        if extra is not None:
+            v = v + extra
+        return v
+
+    rows = []
+    for i in range(NX):
+        cols = [e(i, j) for j in range(NX)]
+        rows.append(cols)
+    # A[0:3, 6:9] = R^T
+    for i in range(3):
+        for j in range(3):
+            rows[i][6 + j] = rows[i][6 + j] + dt * RT[i, j]
+    rows[3][9] = rows[3][9] + dt * oneC
+    rows[4][10] = rows[4][10] + dt * oneC
+    rows[5][11] = rows[5][11] + dt * oneC
+    rows[11][9] = rows[11][9] + dt * xdrag
+    rows[11][12] = rows[11][12] + dt * oneC
+    rows[5][9] = rows[5][9] + dt2 * xdrag            # dt^2/2 A^2[5,9]
+    rows[5][12] = rows[5][12] + dt2 * oneC           # dt^2/2 A^2[5,12]
+    Ad = jnp.stack([jnp.stack(r, axis=0) for r in rows], axis=0)
+
+    # ---- Bdt = Phi @ B (Phi = dt I + dt^2/2 A + dt^3/6 A^2) ----
+    brows = [[zC for _ in range(NU)] for _ in range(NX)]
+    for b in range(4):
+        c0 = 3 * b
+        for i in range(3):
+            for j in range(3):
+                # rows 0:3: dt^2/2 R^T @ Tb ; rows 6:9: dt Tb
+                brows[i][c0 + j] = brows[i][c0 + j] + dt2 * RTTbs[b][i, j]
+                brows[6 + i][c0 + j] = brows[6 + i][c0 + j] + dt * Tbs[b][i, j]
+        # force rows: 3:6 = dt^2/2 / m (diag per foot), 9:12 = dt/m
+        brows[3][c0 + 0] = brows[3][c0 + 0] + dt2 * inv_m * oneC
+        brows[4][c0 + 1] = brows[4][c0 + 1] + dt2 * inv_m * oneC
+        brows[5][c0 + 2] = brows[5][c0 + 2] + dt2 * inv_m * oneC
+        # A^2 row-5 / x-drag couplings
+        brows[5][c0 + 0] = brows[5][c0 + 0] + dt3 * inv_m * xdrag
+        brows[9][c0 + 0] = brows[9][c0 + 0] + dt * inv_m * oneC
+        brows[10][c0 + 1] = brows[10][c0 + 1] + dt * inv_m * oneC
+        brows[11][c0 + 2] = brows[11][c0 + 2] + dt * inv_m * oneC
+        brows[11][c0 + 0] = brows[11][c0 + 0] + dt2 * inv_m * xdrag
+    Bd = jnp.stack([jnp.stack(r, axis=0) for r in brows], axis=0)
+
+    # ---- c = Qdt f_est = Phi[:, 6:12] @ [tau; f] ----
+    tau = fe[0:3]
+    ff = fe[3:6]
+    RTtau = _mv(RT, tau, 3)                          # (3, C)
+    c_rows = [zC for _ in range(NX)]
+    for i in range(3):
+        c_rows[i] = dt2 * RTtau[i]
+        c_rows[6 + i] = dt * tau[i]
+        c_rows[3 + i] = dt2 * ff[i]
+        c_rows[9 + i] = dt * ff[i]
+    c_rows[5] = c_rows[5] + dt3 * xdrag * ff[0]
+    c_rows[11] = c_rows[11] + dt2 * xdrag * ff[0]
+    c_vec = jnp.stack(c_rows, axis=0)                # (NX, C)
+
+    _solve_body(
+        Ad, Bd, lambda k: c_vec,
+        x0_ref, xref_ref, l_ref, u_ref, U0_ref, z0_ref, y0_ref,
+        Qm_ref, Reff_ref, A20_ref,
+        U_out, z_out, y_out,
+        K_scr, Minv_scr, Pc_scr, P_scr, p_scr, kf_scr, q_scr,
+        h=h, iters=iters, rho=rho, over_relax=over_relax, ns_it=ns_it,
+    )
 
 
 @functools.partial(
@@ -294,6 +477,7 @@ def fused_stagewise_solve(
         pltpu.VMEM((NX, NX, C), f32),      # P carry
         pltpu.VMEM((h, NX, C), f32),       # p_{k+1}
         pltpu.VMEM((h, NU, C), f32),       # r_lin / misc
+        pltpu.VMEM((h, NX, C), f32),       # q_stage (hoisted)
     ]
 
     # VMEM budget: gains + sequences + double-buffered chunk IO.  Above
@@ -351,6 +535,145 @@ def fused_stagewise_solve(
             scratch_shapes=scratch,
             interpret=interpret,
         )(Ad_t, Bd_t, c_t, x0_t, xref_t, l_t, u_t, U_t, z_t, y_t,
+          Qm, R_eff.astype(f32), A20)
+
+    def from_lanes(t, inner):
+        return jnp.moveaxis(t, -1, 1).reshape((Bp,) + inner)[:B]
+
+    return (
+        from_lanes(U_o, (h, NU)),
+        from_lanes(z_o, (h, NC)),
+        from_lanes(y_o, (h, NC)),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("iters", "rho", "over_relax", "ns_it", "dt", "mass",
+                     "i_inv_diag", "interpret"),
+)
+def fused_stagewise_solve_srb(
+    R: jnp.ndarray,         # (B, 3, 3) body->world
+    r_feet: jnp.ndarray,    # (B, 4, 3)
+    x_drag: jnp.ndarray,    # (B,)
+    f_est: jnp.ndarray,     # (B, 6)
+    x0: jnp.ndarray,        # (B, NX)
+    x_ref: jnp.ndarray,     # (B, h, NX)
+    Q: jnp.ndarray,         # (NX,)
+    R_eff: jnp.ndarray,     # (NU, NU)
+    F: jnp.ndarray,         # (5, 3)
+    l: jnp.ndarray,         # (B, h, NC)
+    u: jnp.ndarray,         # (B, h, NC)
+    U0: jnp.ndarray,
+    z0: jnp.ndarray,
+    y0: jnp.ndarray,
+    iters: int,
+    rho: float,
+    over_relax: float = 1.6,
+    ns_it: int = 16,
+    dt: float = 0.026,
+    mass: float = 12.0,
+    i_inv_diag: tuple = (1 / 0.07, 1 / 0.26, 1 / 0.242),
+    interpret: bool = False,
+):
+    """Fused-build stagewise solve: the SRB linearization + nilpotent
+    ZOH discretization happen IN-KERNEL (see _kernel_srb); the XLA side
+    only supplies the raw observation quantities.  Returns (U, z, y)."""
+    B = x0.shape[0]
+    h = x_ref.shape[1]
+    C = 128
+    f32 = jnp.float32
+
+    rf = r_feet.reshape(B, NU)
+    xd = x_drag.reshape(B, 1)
+
+    pad = (-B) % C
+    if pad:
+        padv = lambda t: jnp.concatenate(
+            [t, jnp.repeat(t[-1:], pad, axis=0)], axis=0
+        )
+        R, rf, xd, f_est, x0, x_ref, l, u, U0, z0, y0 = map(
+            padv, (R, rf, xd, f_est, x0, x_ref, l, u, U0, z0, y0)
+        )
+    Bp = x0.shape[0]
+    nc = Bp // C
+
+    def to_lanes(t):
+        extra = t.shape[1:]
+        return jnp.moveaxis(t.astype(f32).reshape((nc, C) + extra), 1, -1)
+
+    R_t, rf_t, xd_t, fe_t, x0_t, xref_t, l_t, u_t, U_t, z_t, y_t = map(
+        to_lanes, (R, rf, xd, f_est, x0, x_ref, l, u, U0, z0, y0)
+    )
+    Qm = jnp.diag(Q.astype(f32))
+    A20 = jnp.kron(jnp.eye(4, dtype=f32), F.astype(f32))
+
+    kernel = functools.partial(
+        _kernel_srb, h=h, iters=iters, rho=float(rho),
+        over_relax=float(over_relax), ns_it=ns_it, dt=float(dt),
+        mass=float(mass), i_inv_diag=tuple(i_inv_diag),
+    )
+    scratch = [
+        pltpu.VMEM((h, NU, NX, C), f32),
+        pltpu.VMEM((h, NU, NU, C), f32),
+        pltpu.VMEM((h, NX, C), f32),
+        pltpu.VMEM((NX, NX, C), f32),
+        pltpu.VMEM((h, NX, C), f32),
+        pltpu.VMEM((h, NU, C), f32),
+        pltpu.VMEM((h, NX, C), f32),
+    ]
+    seq_bytes = h * (NX + 2 * NC + NU + 2 * NC + NU) * C * 4
+    gain_bytes = h * (NU * 16 + NU * 16 + NX) * C * 4
+    single_buffer = gain_bytes + 3 * seq_bytes > 11_000_000
+
+    out_shape_1 = [
+        jax.ShapeDtypeStruct((h, NU, C), f32),
+        jax.ShapeDtypeStruct((h, NC, C), f32),
+        jax.ShapeDtypeStruct((h, NC, C), f32),
+    ]
+    if single_buffer:
+        vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+        call = pl.pallas_call(
+            kernel,
+            in_specs=[vmem] * 14,
+            out_specs=[vmem] * 3,
+            out_shape=out_shape_1,
+            scratch_shapes=scratch,
+            interpret=interpret,
+        )
+        U_o, z_o, y_o = jax.lax.map(
+            lambda t: call(*t, Qm, R_eff.astype(f32), A20),
+            (R_t, rf_t, xd_t, fe_t, x0_t, xref_t, l_t, u_t, U_t, z_t, y_t),
+        )
+    else:
+        chunk = lambda *shape: pl.BlockSpec(
+            (None,) + shape, lambda i: (i,) + (0,) * len(shape),
+            memory_space=pltpu.VMEM,
+        )
+        shared = lambda *shape: pl.BlockSpec(
+            shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM,
+        )
+        U_o, z_o, y_o = pl.pallas_call(
+            kernel,
+            grid=(nc,),
+            in_specs=[
+                chunk(3, 3, C), chunk(NU, C), chunk(1, C), chunk(6, C),
+                chunk(NX, C), chunk(h, NX, C), chunk(h, NC, C),
+                chunk(h, NC, C), chunk(h, NU, C), chunk(h, NC, C),
+                chunk(h, NC, C),
+                shared(NX, NX), shared(NU, NU), shared(NC, NU),
+            ],
+            out_specs=[
+                chunk(h, NU, C), chunk(h, NC, C), chunk(h, NC, C),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((nc, h, NU, C), f32),
+                jax.ShapeDtypeStruct((nc, h, NC, C), f32),
+                jax.ShapeDtypeStruct((nc, h, NC, C), f32),
+            ],
+            scratch_shapes=scratch,
+            interpret=interpret,
+        )(R_t, rf_t, xd_t, fe_t, x0_t, xref_t, l_t, u_t, U_t, z_t, y_t,
           Qm, R_eff.astype(f32), A20)
 
     def from_lanes(t, inner):

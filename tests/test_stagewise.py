@@ -257,3 +257,72 @@ def test_fused_stagewise_kernel_matches_xla():
     )
     res_w = qp_stagewise.kkt_residuals(swb, U_w, info_w["z"], info_w["y"])
     assert float(jnp.max(res_w["primal"])) < 6e-3
+
+
+def test_fused_srb_build_matches_xla_build():
+    """The in-kernel SRB build (_kernel_srb: Adt/Bdt/c assembled from
+    the nilpotent closed forms inside the kernel) must reproduce the
+    XLA build path (ct_dynamics + build_prediction) exactly: identical
+    problems, identical solutions to f32 roundoff."""
+    import jax.numpy as jnp
+    from quad_periodic_mpc_tpu.config import MPCConfig
+    from quad_periodic_mpc_tpu.ops import gait as gait_ops
+    from quad_periodic_mpc_tpu.ops import problem
+    from quad_periodic_mpc_tpu.ops.pallas import stagewise_kernel as SK
+    from quad_periodic_mpc_tpu.ops.rotations import quat_to_rotmat, rpy_to_quat
+
+    rng = np.random.default_rng(11)
+    B, h = 3, 10
+    cfg = MPCConfig(horizon=h)
+    dtype = jnp.float32
+    rpy = rng.uniform(-0.15, 0.15, (B, 3))
+    quat = np.asarray(rpy_to_quat(jnp.asarray(rpy)))
+    hips = np.array(
+        [[0.18, -0.13, -0.27], [0.18, 0.13, -0.27],
+         [-0.18, -0.13, -0.27], [-0.18, 0.13, -0.27]]
+    )
+    obs = problem.RobotObs(
+        p=jnp.asarray(np.tile([0.0, 0.0, 0.27], (B, 1)), dtype),
+        v=jnp.asarray(rng.uniform(-0.3, 0.3, (B, 3)), dtype),
+        quat=jnp.asarray(quat, dtype),
+        omega=jnp.asarray(rng.uniform(-0.2, 0.2, (B, 3)), dtype),
+        r_feet=jnp.asarray(hips + rng.uniform(-0.03, 0.03, (B, 4, 3)), dtype),
+    )
+    xref = np.zeros((B, h, 13), np.float32)
+    xref[..., 5] = 0.27
+    g = gait_ops.preset("trotting")
+    table = jnp.broadcast_to(
+        gait_ops.mpc_table(g, jnp.asarray(1, jnp.int32), h), (B, h, 4)
+    )
+    f_est = jnp.asarray(rng.uniform(-3, 3, (B, 6)), dtype)
+    x_drag = jnp.asarray(rng.uniform(-0.5, 0.5, (B,)), dtype)
+
+    sw, _, _ = problem.build_stagewise(
+        obs, jnp.asarray(xref), table, cfg, f_est=f_est, x_drag=x_drag
+    )
+    acfg = ADMMConfig(iterations=80, backend="pallas",
+                      formulation="stagewise")
+    U_ref, info_ref = qp_stagewise.solve(sw, acfg)
+
+    R = quat_to_rotmat(obs.quat)
+    R_eff = jnp.diag(sw.R.astype(dtype)) + acfg.rho * jnp.kron(
+        jnp.eye(4, dtype=dtype), jnp.swapaxes(sw.F, -1, -2) @ sw.F
+    )
+    zeros = lambda r: jnp.zeros((B, h, r), dtype)
+    U_f, z_f, y_f = SK.fused_stagewise_solve_srb(
+        R, obs.r_feet, x_drag, f_est, sw.x0, sw.x_ref.astype(dtype),
+        sw.Q.astype(dtype), R_eff, sw.F.astype(dtype),
+        sw.l.astype(dtype), sw.u.astype(dtype),
+        zeros(12), zeros(20), zeros(20),
+        iters=80, rho=float(acfg.rho),
+        ns_it=qp_stagewise.ns_combine_iters(h),
+        dt=cfg.dt_mpc, mass=cfg.mass,
+        i_inv_diag=tuple(1.0 / np.asarray(cfg.inertia_body)),
+        interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(U_f), np.asarray(U_ref), atol=2e-3
+    )
+    res = qp_stagewise.kkt_residuals(sw, U_f, z_f, y_f)
+    assert float(jnp.max(res["primal"])) < 6e-3
+    assert float(jnp.max(res["dual"])) < 1e-3
