@@ -342,7 +342,7 @@ def mpc_step(
         # audits go through the explicit build so the audited problem
         # is materialized.
         use_fused_build = (
-            solver.backend == "pallas" and h <= 40
+            solver.backend == "pallas" and h <= 64
             and f_steps is None and tunable is None and not return_qp
         )
         if use_fused_build:

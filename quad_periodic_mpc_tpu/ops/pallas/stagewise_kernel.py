@@ -71,6 +71,25 @@ def _t(a, r, c):
     return jnp.stack([a[:, j, :] for j in range(c)], axis=0)
 
 
+# upper-triangle index pairs for packed symmetric (NU, NU) storage
+_SYM_IDX = [(i, j) for i in range(NU) for j in range(i, NU)]   # 78 pairs
+NPACK = len(_SYM_IDX)
+
+
+def _pack_sym(M):
+    """(NU, NU, C) symmetric -> (NPACK, C)."""
+    return jnp.stack([M[i, j, :] for (i, j) in _SYM_IDX], axis=0)
+
+
+def _unpack_sym(Pk):
+    """(NPACK, C) -> (NU, NU, C)."""
+    rows = [[None] * NU for _ in range(NU)]
+    for idx, (i, j) in enumerate(_SYM_IDX):
+        rows[i][j] = Pk[idx]
+        rows[j][i] = Pk[idx]
+    return jnp.stack([jnp.stack(r, axis=0) for r in rows], axis=0)
+
+
 def _solve_body(
     Ad,           # (NX, NX, C) value
     Bd,           # (NX, NU, C) value
@@ -78,14 +97,26 @@ def _solve_body(
     x0_ref, xref_ref, l_ref, u_ref, U0_ref, z0_ref, y0_ref,
     Qm_ref, Reff_ref, A20_ref,
     U_out, z_out, y_out,
-    K_scr, Minv_scr, Pc_scr, P_scr, p_scr, kf_scr, q_scr,
+    scratch,      # tuple of VMEM refs, layout depends on `lean`
     *,
     h: int,
     iters: int,
     rho: float,
     over_relax: float,
     ns_it: int,
+    lean: bool = False,
 ):
+    # lean mode (long horizons, h > 40): Quu^{-1} stored PACKED
+    # symmetric (78 rows instead of a 12x16-sublane-padded block) and
+    # the r_lin / q_stage scratches dropped (recomputed per sweep) —
+    # ~5 MB less VMEM at h = 64, the difference between fitting and
+    # not.  Costs ~5-8% extra iteration arithmetic; the short-horizon
+    # lines keep the fast layout.
+    if lean:
+        K_scr, Minv_scr, Pc_scr, P_scr, p_scr = scratch
+        kf_scr = q_scr = None
+    else:
+        K_scr, Minv_scr, Pc_scr, P_scr, p_scr, kf_scr, q_scr = scratch
     C = Ad.shape[-1]
     f32 = jnp.float32
     AdT = _t(Ad, NX, NX)
@@ -150,7 +181,7 @@ def _solve_body(
         Qux = _mm(BtP, Ad, NX)                      # (NU, NX, C)
         K = _mm(Minv, Qux, NU)                      # (NU, NX, C)
         K_scr[k] = K
-        Minv_scr[k] = Minv
+        Minv_scr[k] = _pack_sym(Minv) if lean else Minv
         Pc_scr[k] = _mv(P, c_get(k), NX)
         # P_k = mask_k Qm + Ad' P Ad - Qux' K  (mask_k = 0 at k = 0,
         # where P is never used — skip the masking, stage 0's P is dead)
@@ -177,13 +208,14 @@ def _solve_body(
     # stage per iteration was ~15% of the iteration cost.
     Qd = jnp.stack([Qm[i, i, :] for i in range(NX)], axis=0)  # (NX, 1)
 
-    def build_q(k, _):
-        km1 = jnp.maximum(k - 1, 0)
-        qs = -(Qd * xref_ref[km1])
-        q_scr[k] = jnp.where(k >= 1, qs, jnp.zeros_like(qs))
-        return 0
+    if not lean:
+        def build_q(k, _):
+            km1 = jnp.maximum(k - 1, 0)
+            qs = -(Qd * xref_ref[km1])
+            q_scr[k] = jnp.where(k >= 1, qs, jnp.zeros_like(qs))
+            return 0
 
-    jax.lax.fori_loop(0, h, build_q, 0)
+        jax.lax.fori_loop(0, h, build_q, 0)
     qT = -(Qd * xref_ref[h - 1])
 
     def iteration(_, carry):
@@ -199,23 +231,39 @@ def _solve_body(
             rk = jnp.dot(
                 A20T, w, preferred_element_type=f32, precision=hp
             )
-            kf_scr[k] = rk
+            if not lean:
+                kf_scr[k] = rk
             # s_k = q_stage_k + Ft_k Pc_k + K_k' r_k
             # Ft_k v = Ad' v - K_k' (Bd' v)
             K = K_scr[k]
             Pc = Pc_scr[k]
             v = Pc + p
             Ftv = _mv(AdT, v, NX) - _tmv(K, _mv(BdT, v, NX)[:NU], NU)
-            return q_scr[k] + Ftv + _tmv(K, rk, NU)
+            if lean:
+                km1 = jnp.maximum(k - 1, 0)
+                qs = -(Qd * xref_ref[km1])
+                qk = jnp.where(k >= 1, qs, jnp.zeros_like(qs))
+            else:
+                qk = q_scr[k]
+            return qk + Ftv + _tmv(K, rk, NU)
 
         jax.lax.fori_loop(0, h, bwd, qT)
 
         # forward closed-loop rollout + relaxed updates
         def fwd(k, x):
             K = K_scr[k]
-            rk = kf_scr[k]
+            if lean:
+                # z/y not yet updated for stage k: same rk as bwd saw
+                w = rho * z_out[k] - y_out[k]
+                rk = jnp.dot(
+                    A20T, w, preferred_element_type=f32, precision=hp
+                )
+                Minv_k = _unpack_sym(Minv_scr[k])
+            else:
+                rk = kf_scr[k]
+                Minv_k = Minv_scr[k]
             BtPp = _mv(BdT, Pc_scr[k] + p_scr[k], NX)
-            kff = _mv(Minv_scr[k], BtPp - rk, NU)
+            kff = _mv(Minv_k, BtPp - rk, NU)
             u_t = -_mv(K, x, NX) - kff              # (NU, C)
             x_new = _mv(Ad, x, NX) + _mv(Bd, u_t, NU) + c_get(k)
             Fu_t = jnp.dot(
@@ -261,21 +309,21 @@ def _kernel(
     U_out,        # (h, NU, C)
     z_out,        # (h, NC, C)
     y_out,        # (h, NC, C)
-    K_scr, Minv_scr, Pc_scr, P_scr, p_scr, kf_scr, q_scr,
-    *,
+    *scratch,
     h: int,
     iters: int,
     rho: float,
     over_relax: float,
     ns_it: int,
+    lean: bool = False,
 ):
     _solve_body(
         Ad_ref[:], Bd_ref[:], lambda k: c_ref[k],
         x0_ref, xref_ref, l_ref, u_ref, U0_ref, z0_ref, y0_ref,
         Qm_ref, Reff_ref, A20_ref,
-        U_out, z_out, y_out,
-        K_scr, Minv_scr, Pc_scr, P_scr, p_scr, kf_scr, q_scr,
+        U_out, z_out, y_out, scratch,
         h=h, iters=iters, rho=rho, over_relax=over_relax, ns_it=ns_it,
+        lean=lean,
     )
 
 
@@ -287,8 +335,7 @@ def _kernel_srb(
     x0_ref, xref_ref, l_ref, u_ref, U0_ref, z0_ref, y0_ref,
     Qm_ref, Reff_ref, A20_ref,
     U_out, z_out, y_out,
-    K_scr, Minv_scr, Pc_scr, P_scr, p_scr, kf_scr, q_scr,
-    *,
+    *scratch,
     h: int,
     iters: int,
     rho: float,
@@ -297,6 +344,7 @@ def _kernel_srb(
     dt: float,
     mass: float,
     i_inv_diag: tuple,
+    lean: bool = False,
 ):
     """Fused problem build: assembles the discrete SRB dynamics
     (Ad, Bd) and the disturbance affine term c IN-KERNEL from the raw
@@ -404,10 +452,29 @@ def _kernel_srb(
         Ad, Bd, lambda k: c_vec,
         x0_ref, xref_ref, l_ref, u_ref, U0_ref, z0_ref, y0_ref,
         Qm_ref, Reff_ref, A20_ref,
-        U_out, z_out, y_out,
-        K_scr, Minv_scr, Pc_scr, P_scr, p_scr, kf_scr, q_scr,
+        U_out, z_out, y_out, scratch,
         h=h, iters=iters, rho=rho, over_relax=over_relax, ns_it=ns_it,
+        lean=lean,
     )
+
+
+def _scratch_shapes(h: int, C: int, lean: bool):
+    f32 = jnp.float32
+    base = [
+        pltpu.VMEM((h, NU, NX, C), f32),   # K
+        pltpu.VMEM(
+            (h, NPACK, C) if lean else (h, NU, NU, C), f32
+        ),                                  # Minv (packed when lean)
+        pltpu.VMEM((h, NX, C), f32),       # Pc
+        pltpu.VMEM((NX, NX, C), f32),      # P carry
+        pltpu.VMEM((h, NX, C), f32),       # p_{k+1}
+    ]
+    if not lean:
+        base += [
+            pltpu.VMEM((h, NU, C), f32),   # r_lin
+            pltpu.VMEM((h, NX, C), f32),   # q_stage (hoisted)
+        ]
+    return base
 
 
 @functools.partial(
@@ -466,19 +533,12 @@ def fused_stagewise_solve(
     Qm = jnp.diag(Q.astype(f32))
     A20 = jnp.kron(jnp.eye(4, dtype=f32), F.astype(f32))      # (20, 12)
 
+    lean = h > 40
     kernel = functools.partial(
         _kernel, h=h, iters=iters, rho=float(rho),
-        over_relax=float(over_relax), ns_it=ns_it,
+        over_relax=float(over_relax), ns_it=ns_it, lean=lean,
     )
-    scratch = [
-        pltpu.VMEM((h, NU, NX, C), f32),   # K
-        pltpu.VMEM((h, NU, NU, C), f32),   # Minv
-        pltpu.VMEM((h, NX, C), f32),       # Pc
-        pltpu.VMEM((NX, NX, C), f32),      # P carry
-        pltpu.VMEM((h, NX, C), f32),       # p_{k+1}
-        pltpu.VMEM((h, NU, C), f32),       # r_lin / misc
-        pltpu.VMEM((h, NX, C), f32),       # q_stage (hoisted)
-    ]
+    scratch = _scratch_shapes(h, C, lean)
 
     # VMEM budget: gains + sequences + double-buffered chunk IO.  Above
     # the grid budget, fall back to a grid-less single-buffer call
@@ -608,20 +668,13 @@ def fused_stagewise_solve_srb(
     Qm = jnp.diag(Q.astype(f32))
     A20 = jnp.kron(jnp.eye(4, dtype=f32), F.astype(f32))
 
+    lean = h > 40
     kernel = functools.partial(
         _kernel_srb, h=h, iters=iters, rho=float(rho),
         over_relax=float(over_relax), ns_it=ns_it, dt=float(dt),
-        mass=float(mass), i_inv_diag=tuple(i_inv_diag),
+        mass=float(mass), i_inv_diag=tuple(i_inv_diag), lean=lean,
     )
-    scratch = [
-        pltpu.VMEM((h, NU, NX, C), f32),
-        pltpu.VMEM((h, NU, NU, C), f32),
-        pltpu.VMEM((h, NX, C), f32),
-        pltpu.VMEM((NX, NX, C), f32),
-        pltpu.VMEM((h, NX, C), f32),
-        pltpu.VMEM((h, NU, C), f32),
-        pltpu.VMEM((h, NX, C), f32),
-    ]
+    scratch = _scratch_shapes(h, C, lean)
     seq_bytes = h * (NX + 2 * NC + NU + 2 * NC + NU) * C * 4
     gain_bytes = h * (NU * 16 + NU * 16 + NX) * C * 4
     single_buffer = gain_bytes + 3 * seq_bytes > 11_000_000

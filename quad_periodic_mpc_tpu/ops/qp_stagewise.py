@@ -636,9 +636,10 @@ def solve(
         B *= d
 
     # The fused kernel holds per-stage gains (K, Quu^{-1}) plus the
-    # stage sequences VMEM-resident; past h ~ 40 the scratch alone
-    # exceeds the ~16 MB VMEM budget — fall back to the XLA path there.
-    if cfg.backend == "pallas" and h <= 40:
+    # stage sequences VMEM-resident; h > 40 switches to the kernel's
+    # lean layout (packed symmetric Quu^{-1}, recomputed sweep
+    # scratches) which fits to h = 64; beyond that fall back to XLA.
+    if cfg.backend == "pallas" and h <= 64:
         # fused kernel: factorize + all iterations VMEM-resident per
         # 128-lane chunk (ops/pallas/stagewise_kernel.py)
         from quad_periodic_mpc_tpu.ops.pallas import stagewise_kernel

@@ -326,3 +326,33 @@ def test_fused_srb_build_matches_xla_build():
     res = qp_stagewise.kkt_residuals(sw, U_f, z_f, y_f)
     assert float(jnp.max(res["primal"])) < 6e-3
     assert float(jnp.max(res["dual"])) < 1e-3
+
+
+def test_fused_kernel_lean_mode_long_horizon():
+    """h > 40 switches the kernel to the lean VMEM layout (packed
+    symmetric Quu^{-1}, recomputed sweep scratches) — must match the
+    XLA path at h = 48."""
+    import jax.numpy as jnp
+
+    qp, sw, cfg, _ = make_problems(horizon=16, seed=6)
+    h = 48
+    reps = h // 16
+    swl = sw._replace(
+        x_ref=jnp.tile(sw.x_ref, (reps, 1)).astype(jnp.float32),
+        l=jnp.tile(sw.l, (reps, 1)).astype(jnp.float32),
+        u=jnp.tile(sw.u, (reps, 1)).astype(jnp.float32),
+        Ad=sw.Ad.astype(jnp.float32), Bd=sw.Bd.astype(jnp.float32),
+        c=sw.c.astype(jnp.float32), x0=sw.x0.astype(jnp.float32),
+        Q=sw.Q.astype(jnp.float32), R=sw.R.astype(jnp.float32),
+        F=sw.F.astype(jnp.float32),
+    )
+    U_x, info_x = qp_stagewise.solve(swl, ADMMConfig(iterations=100))
+    U_p, info_p = qp_stagewise.solve(
+        swl, ADMMConfig(iterations=100, backend="pallas")
+    )
+    res_p = qp_stagewise.kkt_residuals(swl, U_p, info_p["z"], info_p["y"])
+    assert float(jnp.max(res_p["primal"])) < 6e-3
+    assert float(jnp.max(res_p["dual"])) < 1e-3
+    np.testing.assert_allclose(
+        np.asarray(U_p), np.asarray(U_x), atol=3e-2
+    )
