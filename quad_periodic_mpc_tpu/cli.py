@@ -36,12 +36,16 @@ def cmd_rollout(args) -> None:
     )
     solver = (
         PDIPConfig(iterations=25) if args.solver == "pdip"
-        else ADMMConfig(iterations=args.solver_iters, backend=args.backend)
+        else ADMMConfig(iterations=args.solver_iters, backend=args.backend,
+                        formulation=args.formulation)
     )
 
     plant = S.init_plant((), body_height=0.29, dtype=dtype)
     obs = S.observe(plant)
-    ctrl = M.init_state((), obs, dtype=dtype, horizon=args.horizon)
+    ctrl = M.init_state(
+        (), obs, dtype=dtype, horizon=args.horizon,
+        formulation=getattr(solver, "formulation", "condensed"),
+    )
     cmd = M.Command(
         vx=jnp.asarray(args.vx, dtype), vy=jnp.asarray(0.0, dtype),
         yaw_rate=jnp.asarray(args.yaw_rate, dtype),
@@ -121,8 +125,15 @@ def cmd_sweep(args) -> None:
         residual="discrete" if args.estimator in ("ls", "ls6") else "reference",
         window=args.est_window, ls_release=args.est_window,
     )
+    from quad_periodic_mpc_tpu.config import ADMMConfig
+
+    solver = ADMMConfig(
+        iterations=args.solver_iters, formulation=args.formulation,
+        backend=args.backend,
+    )
     res = run_sweep(
-        spec, n_mpc_steps=args.mpc_steps, mesh=mesh, est_cfg=est_cfg
+        spec, n_mpc_steps=args.mpc_steps, mesh=mesh, est_cfg=est_cfg,
+        solver=solver,
     )
     import numpy as np
 
@@ -176,6 +187,10 @@ def main(argv=None) -> None:
     r.add_argument("--estimator", choices=["faithful", "ls"], default="ls")
     r.add_argument("--solver", choices=["admm", "pdip"], default="pdip")
     r.add_argument("--solver-iters", type=int, default=200)
+    # the production headline config is --solver admm --formulation
+    # stagewise --backend pallas (ops/pallas/stagewise_kernel.py)
+    r.add_argument("--formulation", choices=["condensed", "stagewise"],
+                   default="condensed")
     r.add_argument("--backend", choices=["xla", "pallas"], default="xla",
                    help="ADMM iteration-loop backend (pallas = fused TPU kernel)")
     r.add_argument("--f64", action="store_true")
@@ -202,6 +217,10 @@ def main(argv=None) -> None:
                    default="ls")
     s.add_argument("--est-window", type=int, default=400,
                    help="estimator window / release sample count")
+    s.add_argument("--solver-iters", type=int, default=100)
+    s.add_argument("--formulation", choices=["condensed", "stagewise"],
+                   default="condensed")
+    s.add_argument("--backend", choices=["xla", "pallas"], default="xla")
     s.set_defaults(fn=cmd_sweep)
 
     p = sub.add_parser("parity", help="cross-solver parity report")
