@@ -23,3 +23,14 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compile cache for the suite: this box has TWO cores, and
+# the heavy WBC/PDIP compiles intermittently crawl under LLVM on a bad
+# scheduling day (observed: a compile that takes 9 s in isolation
+# stalling a full-suite run past its timeout).  Caching makes every
+# rerun immune — the first run pays once.
+_cache = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                      ".jaxcache-tests")
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -1,6 +1,7 @@
 """WBC tier tests: KinWBC + WBIC physical-consistency checks."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from quad_periodic_mpc_tpu.control import wbc
@@ -49,7 +50,9 @@ def test_standing_equilibrium():
     fz = m_tot * 9.81 / 4
     fr_des = jnp.zeros((4, 3)).at[:, 2].set(fz)
     inp = make_input(st, [1.0, 1.0, 1.0, 1.0], fr_des=fr_des)
-    out = wbc.run(st, inp, MC, gains=wbc.WBCGains(knee_barrier=False))
+    out = jax.jit(
+        lambda s, i: wbc.run(s, i, MC, gains=wbc.WBCGains(knee_barrier=False))
+    )(st, inp)
 
     fr = np.asarray(out.fr)
     assert abs(fr[:, 2].sum() - m_tot * 9.81) < 0.1 * m_tot * 9.81
@@ -86,7 +89,7 @@ def test_swing_foot_force_zero_and_task_tracking():
     fr_des = jnp.zeros((4, 3)).at[1:, 2].set(fz)
     inp = make_input(st, [0.0, 1.0, 1.0, 1.0], fr_des=fr_des,
                      p_foot_des=jnp.asarray(target))
-    out = wbc.run(st, inp, MC)
+    out = jax.jit(lambda s, i: wbc.run(s, i, MC))(st, inp)
 
     fr = np.asarray(out.fr)
     np.testing.assert_allclose(fr[0], 0.0, atol=1e-6)   # swing foot: no force
@@ -106,7 +109,7 @@ def test_body_height_task_direction():
     st = standing_state()
     inp = make_input(st, [1.0] * 4)
     inp = inp._replace(p_body_des=st.pos + jnp.asarray([0.0, 0.0, 0.02]))
-    out = wbc.run(st, inp, MC)
+    out = jax.jit(lambda s, i: wbc.run(s, i, MC))(st, inp)
     # stance feet stationary; body must rise via joint change: the
     # commanded joint config, applied with feet pinned, raises the base.
     # Equivalent check: des_jpos differs from current q meaningfully
@@ -120,8 +123,8 @@ def test_batched_wbc():
     stb = fb.FBState(*[jnp.broadcast_to(x, (B,) + x.shape) for x in st])
     inp = make_input(st, [1.0] * 4)
     inpb = wbc.WBCInput(*[jnp.broadcast_to(x, (B,) + x.shape) for x in inp])
-    out_b = wbc.run(stb, inpb, MC)
-    out_1 = wbc.run(st, inp, MC)
+    out_b = jax.jit(lambda s, i: wbc.run(s, i, MC))(stb, inpb)
+    out_1 = jax.jit(lambda s, i: wbc.run(s, i, MC))(st, inp)
     np.testing.assert_allclose(
         np.asarray(out_b.tau_ff[1]), np.asarray(out_1.tau_ff), atol=1e-8
     )
