@@ -262,21 +262,27 @@ def main() -> None:
     # dispatch-rate (fantasy) numbers.
     step_jit = jax.jit(step)
 
-    def throughput(batch: int) -> float:
+    def throughput(batch: int) -> tuple[float, list]:
+        """Median-of-3 timed loops + per-loop spread (VERDICT r4 #2:
+        every published line carries run-to-run spread; warmup reaches
+        the steady warm-seed state before timing starts)."""
         ctrl, plant, cmd, gait, dist = make_inputs(
             batch, formulation=args.formulation
         )
-        ctrl, plant, f = step_jit(ctrl, plant, cmd, gait, dist)
-        float(jnp.sum(f))                     # hard sync (compile)
-        n = args.iters
-        t0 = time.perf_counter()
-        for _ in range(n):
+        for _ in range(6):                    # compile + steady state
             ctrl, plant, f = step_jit(ctrl, plant, cmd, gait, dist)
-        checksum = float(jnp.sum(f))          # chained: forces all n steps
-        dt = time.perf_counter() - t0
-        if not np.isfinite(checksum):
-            raise RuntimeError("non-finite checksum")
-        return batch * n / dt
+        float(jnp.sum(f))                     # hard sync
+        n = args.iters
+        loops = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(n):
+                ctrl, plant, f = step_jit(ctrl, plant, cmd, gait, dist)
+            checksum = float(jnp.sum(f))      # chained: forces all n steps
+            loops.append(batch * n / (time.perf_counter() - t0))
+            if not np.isfinite(checksum):
+                raise RuntimeError("non-finite checksum")
+        return float(np.median(loops)), sorted(loops)
 
     if args.batch:
         batches = [args.batch]
@@ -289,18 +295,20 @@ def main() -> None:
     best_b = 0
     for b in batches:
         try:
-            sps = throughput(b)
+            sps, loops = throughput(b)
         except Exception as e:  # OOM etc — report what we can
             print(f"batch {b}: failed ({type(e).__name__}: {e})",
                   file=sys.stderr, flush=True)
             continue
-        print(f"batch {b}: {sps:,.0f} solves/s "
+        print(f"batch {b}: {sps:,.0f} solves/s (median of "
+              f"[{', '.join(f'{v:,.0f}' for v in loops)}]) "
               f"[t+{time.perf_counter() - t_start:.0f}s]",
               file=sys.stderr, flush=True)
         if sps > best:
             best, best_b = sps, b
             _update(value=round(best, 1), vs_baseline=round(best / 1e4, 4),
-                    batch=b)
+                    batch=b,
+                    value_spread=[round(v, 1) for v in loops])
 
     # ---- production-path KKT residuals at batch scale ----
     # Accuracy evidence for the headline number: after warm steps on the
@@ -442,18 +450,26 @@ def main() -> None:
             )
             ctrl, plant, s = ch_jit(ctrl, plant, cmd, gait, dist)
             float(s)
-            t0 = time.perf_counter()
-            reps = 6
-            for _ in range(reps):
-                ctrl, plant, s = ch_jit(ctrl, plant, cmd, gait, dist)
-            checksum = float(s)
-            dt = (time.perf_counter() - t0) / (reps * KCH)
+            loops = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                for _ in range(2):
+                    ctrl, plant, s = ch_jit(ctrl, plant, cmd, gait, dist)
+                checksum = float(s)
+                loops.append((time.perf_counter() - t0) / (2 * KCH))
+            dt = float(np.median(loops))
             if np.isfinite(checksum):
                 sps_ch = best_b / dt
-                _update(scan_chained_solves_per_s=round(sps_ch, 1))
+                _update(
+                    scan_chained_solves_per_s=round(sps_ch, 1),
+                    scan_chained_solves_per_s_spread=sorted(
+                        round(best_b / t, 1) for t in loops
+                    ),
+                )
                 print(
                     f"scan-chained rollout shape: {sps_ch:,.0f} solves/s "
-                    f"({dt * 1e3:.2f} ms/step, chain of {KCH})",
+                    f"({dt * 1e3:.2f} ms/step, chain of {KCH}, loops "
+                    f"[{', '.join(f'{best_b / t:,.0f}' for t in loops)}])",
                     file=sys.stderr, flush=True,
                 )
         except Exception as e:
@@ -549,7 +565,12 @@ def main() -> None:
                     raise RuntimeError("non-finite checksum")
             med = float(np.median(loops))
             sps = batch / med
-            _update(**{field: round(sps, 1)})
+            _update(**{
+                field: round(sps, 1),
+                field + "_spread": sorted(
+                    round(batch / t, 1) for t in loops
+                ),
+            })
             spread = ", ".join(f"{t * 1e3:.1f}" for t in loops)
             print(
                 f"{label}: {sps:,.0f} solves/s @ batch {batch} "
@@ -670,20 +691,29 @@ def main() -> None:
             )
             pl_jit = jax.jit(make_step(mpc_cfg, pl_solver))
             ctrl, plant, cmd, gait, dist = make_inputs(best_b)
-            ctrl, plant, f = pl_jit(ctrl, plant, cmd, gait, dist)
+            for _ in range(6):
+                ctrl, plant, f = pl_jit(ctrl, plant, cmd, gait, dist)
             float(jnp.sum(f))
             n = args.iters
-            t0 = time.perf_counter()
-            for _ in range(n):
-                ctrl, plant, f = pl_jit(ctrl, plant, cmd, gait, dist)
-            checksum = float(jnp.sum(f))
-            dt = time.perf_counter() - t0
+            loops = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                for _ in range(n):
+                    ctrl, plant, f = pl_jit(ctrl, plant, cmd, gait, dist)
+                checksum = float(jnp.sum(f))
+                loops.append(best_b * n / (time.perf_counter() - t0))
             if np.isfinite(checksum):
-                sps_pl = best_b * n / dt
-                _update(pallas_bf16_solves_per_s=round(sps_pl, 1))
+                sps_pl = float(np.median(loops))
+                _update(
+                    pallas_bf16_solves_per_s=round(sps_pl, 1),
+                    pallas_bf16_solves_per_s_spread=sorted(
+                        round(v, 1) for v in loops
+                    ),
+                )
                 print(
                     f"pallas bf16-K^-1: {sps_pl:,.0f} solves/s "
-                    f"@ batch {best_b} ({dt / n * 1e3:.1f} ms/step)",
+                    f"@ batch {best_b} (median of "
+                    f"[{', '.join(f'{v:,.0f}' for v in loops)}])",
                     file=sys.stderr, flush=True,
                 )
 
@@ -747,7 +777,11 @@ def main() -> None:
                 horizon=10, mass=float(m_tot),
                 inertia_body=(0.12, 0.45, 0.42),
             )
-            fs_solver = ADMMConfig(iterations=args.admm_iters)
+            # production config end-to-end: the MPC tier inside the
+            # composed stack runs the fused stagewise kernel too
+            fs_solver = ADMMConfig(iterations=args.admm_iters,
+                                   formulation="stagewise",
+                                   backend="pallas")
             plant = art.init_on_ground(
                 (fs_b,), penetration=3.8e-3, dtype=dtype
             )
@@ -766,6 +800,7 @@ def main() -> None:
                 carry, _ = FS.rollout_articulated(
                     1, plant, ctrl, fs_cmd, fs_gait, MC, mpc_cfg=fs_cfg,
                     solver=fs_solver, use_wbc=True, substeps=10,
+                    wbc_backend="pallas",
                 )
                 return carry.plant, carry.ctrl
 
@@ -795,6 +830,11 @@ def main() -> None:
                 tick_ms = np.asarray(times) * 1e3 / 13.0
                 _update(
                     fullstack_solves_per_s=round(fs_sps, 1),
+                    fullstack_solves_per_s_spread=[
+                        round(fs_b / float(np.max(times)), 1),
+                        round(fs_sps, 1),
+                        round(fs_b / float(np.min(times)), 1),
+                    ],
                     fullstack_ms_per_period_median=round(med * 1e3, 2),
                     fullstack_tick_p99_ms=round(
                         float(np.percentile(tick_ms, 99)), 4
@@ -838,7 +878,7 @@ def main() -> None:
                 carry, _ = FS.rollout_articulated(
                     K_periods, plant, ctrl, cmd1, fs_gait, MC,
                     mpc_cfg=fs_cfg, solver=fs_solver, use_wbc=True,
-                    substeps=10,
+                    substeps=10, wbc_backend="pallas",
                 )
                 return carry.plant, carry.ctrl
 
@@ -857,23 +897,31 @@ def main() -> None:
             p50t = float(np.percentile(per_tick, 50))
             p99t = float(np.percentile(per_tick, 99))
 
-            # plant-only chain: same per-tick structure as the full
-            # stack (model cache hoisted per tick, 10 cached substeps),
-            # frozen torques — the environment share of the tick above
+            # plant-only STREAM chain: the production per-tick plant
+            # structure (one model_cache + FK per tick, 10 step_fast
+            # substeps on the tick's frozen kinematics), frozen torques
+            # — the environment share / the separate plant process of
+            # the reference's two-stream deployment
+            # (raisim_unitree_ros_driver.cpp:309)
             tau0 = jnp.zeros((b1, 4, 3), dtype)
+            cparams = art.ContactParams()
 
             def plant_chain(plant):
                 def tick(p, _):
                     cache = art.model_cache(p, MC)
+                    info = fb.contact_jacobians(p.fb, MC)
 
-                    def sub(pp, _):
-                        pp2, _ = art.step(
-                            pp, tau0, MC, dt=loop_cfg.dt / 10.0,
-                            cache=cache,
+                    def sub(c, _):
+                        pp, pf = c
+                        pp2, pf2, _ = art.step_fast(
+                            pp, tau0, loop_cfg.dt / 10.0, cparams,
+                            cache, info.Jc, pf,
                         )
-                        return pp2, None
+                        return (pp2, pf2), None
 
-                    p2, _ = jax.lax.scan(sub, p, None, length=10)
+                    (p2, _), _ = jax.lax.scan(
+                        sub, (p, info.p_foot), None, length=10
+                    )
                     return p2, None
 
                 p2, _ = jax.lax.scan(tick, plant, None, length=ticks)
@@ -888,15 +936,63 @@ def main() -> None:
                 float(jnp.sum(p2.fb.pos))
                 tpl.append((time.perf_counter() - t1) / ticks)
             plant_ms = float(np.median(tpl)) * 1e3
+
+            # controller-only STREAM chain (VERDICT r4 #3b): the exact
+            # controller tick (estimate -> MPC/13 -> swing -> WBC ->
+            # torques) with the plant state held — the stream the 2 ms
+            # budget constrains (be2r_cmpc_unitree.hpp:49)
+            def ctrl_stream(plant, ctrl):
+                def one_period(c, _):
+                    c, tau, _ = FS.controller_tick(
+                        plant, c, cmd1, fs_gait, MC, True,
+                        mpc_cfg=fs_cfg, solver=fs_solver,
+                        wbc_backend="pallas",
+                    )
+
+                    def inner(cc, _):
+                        cc, tau_i, _ = FS.controller_tick(
+                            plant, cc, cmd1, fs_gait, MC, False,
+                            mpc_cfg=fs_cfg, solver=fs_solver,
+                            wbc_backend="pallas",
+                        )
+                        return cc, jnp.sum(tau_i)
+
+                    c, s = jax.lax.scan(inner, c, None, length=12)
+                    return c, jnp.sum(s) + jnp.sum(tau)
+
+                ctrl, s = jax.lax.scan(
+                    one_period, ctrl, None, length=K_periods
+                )
+                return ctrl, jnp.sum(s)
+
+            cs_jit = jax.jit(ctrl_stream)
+            ctrl_s = ctrl1
+            for _ in range(2):
+                ctrl_s, s = cs_jit(plant1, ctrl_s)
+            float(s)
+            tcs = []
+            for _ in range(30):
+                t1 = time.perf_counter()
+                ctrl_s, s = cs_jit(plant1, ctrl_s)
+                float(s)
+                tcs.append((time.perf_counter() - t1) / ticks)
+            cs_tick = np.asarray(tcs) * 1e3
+            cs_p50 = float(np.percentile(cs_tick, 50))
+            cs_p99 = float(np.percentile(cs_tick, 99))
+
             _update(
                 fullstack_b1_tick_p99_ms=round(p99t, 4),
                 fullstack_b1_tick_plant_ms=round(plant_ms, 4),
+                fullstack_b1_plant_stream_ms=round(plant_ms, 4),
+                fullstack_b1_ctrl_stream_p50_ms=round(cs_p50, 4),
+                fullstack_b1_ctrl_stream_p99_ms=round(cs_p99, 4),
             )
             print(
                 f"b=1 full-stack tick (MPC/13 + WBC + torque + 10 plant "
                 f"substeps): p50 {p50t:.3f} ms, p99 {p99t:.3f} ms "
-                f"(budget 2 ms; plant-only share ~{plant_ms:.3f} ms, "
-                f"controller-only p99 ~{p99t - plant_ms:.3f} ms)",
+                f"(budget 2 ms; plant stream {plant_ms:.3f} ms/tick, "
+                f"controller stream p50 {cs_p50:.3f} / p99 {cs_p99:.3f} "
+                f"ms/tick measured as separate dispatch streams)",
                 file=sys.stderr, flush=True,
             )
         except Exception as e:

@@ -232,15 +232,24 @@ class EstimatorConfig:
     # - "ls6": the ls fit applied independently to EVERY component of the
     #   6-wrench residual (the reference tracks only f_ext[3]) — rejects
     #   periodic disturbances in any direction including torques.
-    mode: str = "faithful"
+    #
+    # DEFAULT = "ls" (round 5): the A/B product table
+    # (tools/estimator_ab.py, docs/PERFORMANCE.md) measures "ls" at
+    # 0.56x tracking error vs estimator-off at the reference's window
+    # 400, while the bit-faithful shipped path measures WORSE than off
+    # (1.37x — the amp + sin quirk, SolverMPC.cpp:766).  "faithful"
+    # stays available as the reference-parity mode; bit-level parity
+    # tests request it explicitly.
+    mode: str = "ls"
     # "ls" releases compensation to the QP as soon as the window is full.
     ls_release: int = 400
     # Residual extraction: "reference" uses the continuous-time A, B in the
     # one-step residual exactly as ConvexMPCLocomotion.cpp:641-776 does
     # (dimensionally odd but faithful); "discrete" solves the proper
     # discrete residual Qd w = x_k - Ad x_prev - Bd u_prev for the
-    # acceleration-space wrench w (recommended with mode="ls").
-    residual: str = "reference"
+    # acceleration-space wrench w (the default, paired with mode="ls";
+    # "reference" pairs with mode="faithful" for parity).
+    residual: str = "discrete"
     # Predict the fitted sinusoid PER HORIZON STEP instead of holding it
     # constant (the reference applies one f_est to every step,
     # SolverMPC.cpp:810); meaningful with mode="ls".

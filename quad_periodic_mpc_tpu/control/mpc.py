@@ -338,12 +338,16 @@ def mpc_step(
         # discretization happen INSIDE the kernel (_kernel_srb) — the
         # XLA build stage's scatter-heavy assembly (~2 ms at batch
         # 2048) disappears.  Requires shared (non-per-instance) cost
-        # weights and a time-invariant disturbance term; return_qp
-        # audits go through the explicit build so the audited problem
-        # is materialized.
+        # weights and a time-invariant disturbance term.  return_qp
+        # audits KEEP the fused solve and additionally materialize the
+        # same problem via build_stagewise, so the published KKT gate
+        # audits the actual production dispatch (ADVICE r4).  The
+        # kernel is f32-internal, so f64 requests fall back to the XLA
+        # stagewise path rather than silently demoting (ADVICE r4).
         use_fused_build = (
             solver.backend == "pallas" and h <= 64
-            and f_steps is None and tunable is None and not return_qp
+            and f_steps is None and tunable is None
+            and dtype == jnp.float32
         )
         if use_fused_build:
             from quad_periodic_mpc_tpu.ops import condense
@@ -365,9 +369,6 @@ def mpc_step(
             flat = lambda t, *extra: jnp.broadcast_to(
                 t, lead + extra
             ).reshape((-1,) + extra)
-            B_flat = 1
-            for d in lead:
-                B_flat *= d
             U_f, z_f, y_f = stagewise_kernel.fused_stagewise_solve_srb(
                 flat(R, 3, 3), flat(r_feet, 4, 3), flat(x_comp),
                 flat(f_for_qp, 6), flat(x0, 13), flat(x_ref, h, 13),
@@ -386,7 +387,17 @@ def mpc_step(
                 "z": z_f.reshape(lead + (h, 20)).astype(dtype),
                 "y": y_f.reshape(lead + (h, 20)).astype(dtype),
             }
-            qp_out = None
+            if return_qp:
+                # audit hook: materialize the SAME problem the kernel
+                # assembled in-VMEM so kkt_residuals can check the
+                # production fused-build solution against it
+                sw_audit, _, _ = problem.build_stagewise(
+                    qp_obs, x_ref, table, mpc, f_est=f_for_qp,
+                    x_drag=x_comp, f_est_steps=f_steps, tunable=tunable,
+                )
+                qp_out = sw_audit
+            else:
+                qp_out = None
         else:
             sw, pred, x0 = problem.build_stagewise(
                 qp_obs, x_ref, table, mpc, f_est=f_for_qp, x_drag=x_comp,

@@ -358,13 +358,19 @@ def run(
     gains: WBCGains = WBCGains(),
     pdip: PDIPConfig = PDIPConfig(iterations=20, kkt="spd"),
     model=None,
+    backend: str = "xla",
 ) -> WBCOutput:
     """Full WBC step (WBC_Ctrl::run, WBC_Ctrl.cpp:71-116).
 
     model: optional precomputed (A, Ainv, grav, cori, contact) for the
     SAME state — the full-stack tick computes these once and shares
     them between the WBC and the plant's substep cache
-    (articulated_sim.model_cache); None computes fresh."""
+    (articulated_sim.model_cache); None computes fresh.
+
+    backend: "xla" runs the batched spd_inverse/PDIP composition below;
+    "pallas" dispatches the fused VMEM-resident lane-major kernel
+    (ops/pallas/wbc_kernel.py — the production full-stack path; f32
+    only, outputs match to f32 tolerance, tests/test_wbc_kernel.py)."""
     dtype = state.pos.dtype
     if model is None:
         A = fb.mass_matrix(state, mc)
@@ -384,11 +390,48 @@ def run(
         state, contact, inp, gains, dtype
     )
 
-    des_jpos, des_jvel = kin_wbc(state, Jc_masked, jacobians, errors, vels, gains)
-    tau, fr, _ = wbic(
-        state, A, Ainv, cori, grav, Jc_masked, Jcdqd_masked,
-        jacobians, cmds, jdqd, fr_des_masked, contact_mask, gains, pdip,
-    )
+    if backend == "pallas" and dtype == jnp.float32:
+        import jax
+
+        from quad_periodic_mpc_tpu.ops.pallas import wbc_kernel
+
+        lead = state.pos.shape[:-1]
+        B = 1
+        for d in lead:
+            B *= d
+        R = quat_to_rotmat(state.quat)
+        stack6 = lambda parts: jnp.concatenate(
+            [p.reshape((B, 3)) for p in parts], axis=-1
+        )
+        des_jpos, des_jvel, tau, fr = wbc_kernel.fused_wbc(
+            A.reshape(B, N_DOF, N_DOF), Ainv.reshape(B, N_DOF, N_DOF),
+            (cori + grav).reshape(B, N_DOF),
+            contact.Jc.reshape(B, 12, N_DOF),
+            contact.Jcdqd.reshape(B, 12),
+            contact_mask.reshape(B, 4), R.reshape(B, 3, 3),
+            stack6(errors), stack6(vels), stack6(cmds), stack6(jdqd),
+            fr_des_masked.reshape(B, 12), state.q.reshape(B, 12),
+            damping=gains.pinv_damping, w_floating=gains.w_floating,
+            w_rf=gains.w_rf, mu=gains.mu, max_fz=gains.max_fz,
+            pdip_iters=pdip.iterations, pdip_reg=pdip.reg,
+            pdip_tau=pdip.tau, pdip_mu_min=pdip.mu_min,
+            pdip_slack_floor=pdip.slack_floor,
+            pdip_big_clamp=pdip.big_clamp,
+            interpret=jax.default_backend() == "cpu",
+        )
+        des_jpos = des_jpos.reshape(lead + (12,))
+        des_jvel = des_jvel.reshape(lead + (12,))
+        tau = tau.reshape(lead + (12,))
+        fr = fr.reshape(lead + (12,))
+    else:
+        des_jpos, des_jvel = kin_wbc(
+            state, Jc_masked, jacobians, errors, vels, gains
+        )
+        tau, fr, _ = wbic(
+            state, A, Ainv, cori, grav, Jc_masked, Jcdqd_masked,
+            jacobians, cmds, jdqd, fr_des_masked, contact_mask, gains,
+            pdip,
+        )
 
     q_des = des_jpos.reshape(des_jpos.shape[:-1] + (4, 3))
     qd_des = des_jvel.reshape(des_jvel.shape[:-1] + (4, 3))

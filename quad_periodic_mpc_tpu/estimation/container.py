@@ -62,6 +62,7 @@ def update(
     contact_phase: jnp.ndarray,   # (..., 4) scheduled contact
     params: kf_mod.KFParams = kf_mod.KFParams(),
     model: RobotModel = A1,
+    kf_backend: str = "xla",
 ) -> tuple[EstimatorState, StateEstimate]:
     """One estimation tick (StateEstimatorContainer::run,
     StateEstimatorContainer.h:112)."""
@@ -86,6 +87,7 @@ def update(
         v_rel=legs.v,
         contact_phase=contact_phase,
         params=params,
+        backend=kf_backend,
     )
 
     position = kf_new.xhat[..., 0:3]

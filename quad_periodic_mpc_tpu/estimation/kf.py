@@ -107,8 +107,14 @@ def update(
     v_rel: jnp.ndarray,          # (..., 4, 3) leg velocity, body frame
     contact_phase: jnp.ndarray,  # (..., 4)
     params: KFParams,
+    backend: str = "xla",
 ) -> KFState:
-    """One KF tick (run(), PositionVelocityEstimator.cpp:130-250)."""
+    """One KF tick (run(), PositionVelocityEstimator.cpp:130-250).
+
+    backend="pallas" runs the predict + innovation with the covariance
+    VMEM-resident (ops/pallas/kf_kernel.py — removes the ~2 GB/tick of
+    covariance-chain HBM traffic the XLA path pays at batch 2048); the
+    per-leg measurement prep below is shared."""
     dtype = state.xhat.dtype
     A, B, C, q0, r0 = _static_matrices(params, dtype)
 
@@ -148,6 +154,27 @@ def update(
     ).reshape(p_f.shape[:-2] + (12,))
     pzs = (1.0 - trust) * (p0[..., 2:3] + p_f[..., 2])
     y = jnp.concatenate([ps, vs, pzs], axis=-1)
+
+    if backend == "pallas" and dtype == jnp.float32:
+        import jax
+
+        from quad_periodic_mpc_tpu.ops.pallas import kf_kernel
+
+        lead = state.xhat.shape[:-1]
+        Bn = 1
+        for d in lead:
+            Bn *= d
+        x_new, P_new = kf_kernel.fused_kf_innovate(
+            state.xhat.reshape(Bn, 18), state.P.reshape(Bn, 18, 18),
+            a.reshape(Bn, 3), y.reshape(Bn, 28),
+            q_diag.reshape(Bn, 18), r_diag.reshape(Bn, 28),
+            dt=float(params.dt),
+            interpret=jax.default_backend() == "cpu",
+        )
+        return KFState(
+            xhat=x_new.reshape(lead + (18,)),
+            P=P_new.reshape(lead + (18, 18)),
+        )
 
     # predict
     xhat = jnp.einsum("ij,...j->...i", A, state.xhat) + jnp.einsum(

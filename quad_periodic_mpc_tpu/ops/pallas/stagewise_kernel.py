@@ -175,7 +175,39 @@ def _solve_body(
             # round 1 reuses the seed product: X1 = a Xp (2I - a M)
             X = _mm(alpha[None, None, :] * Xp,
                     2.0 * eyeu - alpha[None, None, :] * M, NU)
-            return jax.lax.fori_loop(0, ns_warm - 1, ns_round, X)
+            X = jax.lax.fori_loop(0, ns_warm - 1, ns_round, X)
+            # post-loop residual gate (ADVICE r4, mirrors
+            # linalg.ns_inverse_bucket's rescue): a genuinely
+            # ill-conditioned Quu can defeat the alpha-rescale argument
+            # and diverge silently; detect residual blow-up /
+            # non-finites per lane and rerun those lanes from the cold
+            # scalar seed.  lax.cond on the per-chunk ANY keeps the
+            # rescue free on the (overwhelmingly common) healthy path;
+            # the check itself is one NUxNU lane matmul per stage.
+            QX = _mm(Quu, X, NU)
+            Eabs = jnp.abs(eyeu - QX)
+            rrow = Eabs[:, 0, :]
+            for j in range(1, NU):
+                rrow = rrow + Eabs[:, j, :]
+            err = rrow[0]
+            for i in range(1, NU):
+                err = jnp.maximum(err, rrow[i])     # (C,)
+            bad = jnp.logical_not(err < 0.9)        # catches NaN too
+
+            def rescue(Xb):
+                absQ = jnp.abs(Quu)
+                arow = absQ[:, 0, :]
+                for j in range(1, NU):
+                    arow = arow + absQ[:, j, :]
+                norm = arow[0]
+                for i in range(1, NU):
+                    norm = jnp.maximum(norm, arow[i])
+                Xs = jnp.broadcast_to(eyeu, (NU, NU, C)) / norm[None, None, :]
+                Xb = jnp.where(bad[None, None, :], Xs, Xb)
+                Xb = jnp.where(jnp.isfinite(Xb), Xb, 0.0)
+                return jax.lax.fori_loop(0, ns_it, ns_round, Xb)
+
+            return jax.lax.cond(jnp.any(bad), rescue, lambda x: x, X)
 
         Minv = jax.lax.cond(kk == 0, cold, warm, X_prev)
         Qux = _mm(BtP, Ad, NX)                      # (NU, NX, C)
@@ -479,7 +511,8 @@ def _scratch_shapes(h: int, C: int, lean: bool):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("iters", "rho", "over_relax", "ns_it", "interpret"),
+    static_argnames=("iters", "rho", "over_relax", "ns_it", "interpret",
+                     "chunk_c"),
 )
 def fused_stagewise_solve(
     Ad: jnp.ndarray,        # (B, NX, NX)
@@ -500,11 +533,16 @@ def fused_stagewise_solve(
     over_relax: float = 1.6,
     ns_it: int = 16,
     interpret: bool = False,
+    chunk_c: int = 128,
 ):
-    """Fused stagewise solve.  Returns (U, z, y), each (B, h, ...)."""
+    """Fused stagewise solve.  Returns (U, z, y), each (B, h, ...).
+
+    chunk_c: lane-chunk width (128 or 256 — the 256 variant processes
+    two 128-lane vregs per tile op, halving the serial-chain count per
+    instance at 2x VMEM; see docs/PERFORMANCE.md lever notes)."""
     B = x0.shape[0]
     h = x_ref.shape[1]
-    C = 128
+    C = chunk_c
     f32 = jnp.float32
 
     if c.ndim == 2:
@@ -610,7 +648,7 @@ def fused_stagewise_solve(
 @functools.partial(
     jax.jit,
     static_argnames=("iters", "rho", "over_relax", "ns_it", "dt", "mass",
-                     "i_inv_diag", "interpret"),
+                     "i_inv_diag", "interpret", "chunk_c"),
 )
 def fused_stagewise_solve_srb(
     R: jnp.ndarray,         # (B, 3, 3) body->world
@@ -635,13 +673,14 @@ def fused_stagewise_solve_srb(
     mass: float = 12.0,
     i_inv_diag: tuple = (1 / 0.07, 1 / 0.26, 1 / 0.242),
     interpret: bool = False,
+    chunk_c: int = 128,
 ):
     """Fused-build stagewise solve: the SRB linearization + nilpotent
     ZOH discretization happen IN-KERNEL (see _kernel_srb); the XLA side
     only supplies the raw observation quantities.  Returns (U, z, y)."""
     B = x0.shape[0]
     h = x_ref.shape[1]
-    C = 128
+    C = chunk_c
     f32 = jnp.float32
 
     rf = r_feet.reshape(B, NU)

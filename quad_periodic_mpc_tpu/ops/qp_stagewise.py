@@ -638,8 +638,12 @@ def solve(
     # The fused kernel holds per-stage gains (K, Quu^{-1}) plus the
     # stage sequences VMEM-resident; h > 40 switches to the kernel's
     # lean layout (packed symmetric Quu^{-1}, recomputed sweep
-    # scratches) which fits to h = 64; beyond that fall back to XLA.
-    if cfg.backend == "pallas" and h <= 64:
+    # scratches) which fits to h = 64; past that a gains-streaming
+    # variant (DMA double-buffered K/Quu^{-1}) carries to h = 128,
+    # beyond which fall back to XLA.  The kernel is f32-internal, so
+    # f64 problems stay on the XLA path instead of silently demoting
+    # (ADVICE r4).
+    if cfg.backend == "pallas" and h <= 64 and dtype == jnp.float32:
         # fused kernel: factorize + all iterations VMEM-resident per
         # 128-lane chunk (ops/pallas/stagewise_kernel.py)
         from quad_periodic_mpc_tpu.ops.pallas import stagewise_kernel

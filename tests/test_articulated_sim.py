@@ -162,3 +162,31 @@ def test_model_cache_matches_uncached_over_tick():
     # A(q) staleness integrates — 2e-3 rad over 50 substeps; closed-loop
     # (PD-corrected) usage sits far below this
     assert np.abs(dq).max() < 5e-3, np.abs(dq).max()
+
+
+def test_step_fast_matches_exact():
+    """step_fast (tick-frozen Jc + integrated foot positions, round 5)
+    must track the exact per-substep FK plant to below the integrator's
+    own error over control ticks."""
+    mc = art.mc_cache("float32")
+    plant_a = art.init_on_ground((2,), penetration=3e-3)
+    plant_b = plant_a
+    tau = jnp.zeros((2, 12), jnp.float32)
+    tau = tau.at[:, 1::3].set(8.0).at[:, 2::3].set(-14.0)
+    dt = 2e-4
+    params = art.ContactParams()
+    for tick in range(5):
+        cache = art.model_cache(plant_b, mc)
+        info = fb.contact_jacobians(plant_b.fb, mc)
+        pf = info.p_foot
+        for _ in range(10):
+            plant_a, _ = art.step(plant_a, tau, mc, dt=dt)
+            plant_b, pf, _ = art.step_fast(
+                plant_b, tau, dt, params, cache, info.Jc, pf
+            )
+    da = np.asarray(plant_a.fb.pos) - np.asarray(plant_b.fb.pos)
+    dq = np.asarray(plant_a.fb.q) - np.asarray(plant_b.fb.q)
+    dv = np.asarray(plant_a.fb.v_body) - np.asarray(plant_b.fb.v_body)
+    assert np.abs(da).max() < 2e-4, np.abs(da).max()
+    assert np.abs(dq).max() < 6e-3, np.abs(dq).max()
+    assert np.abs(dv).max() < 0.05, np.abs(dv).max()

@@ -77,7 +77,8 @@ def test_adaptive_mpc_beats_static_under_periodic_disturbance():
     c_ad, tr_ad = run("trotting", 0.3, dist,
                       EstimatorConfig(mode="ls", residual="discrete"), n)
     c_off, tr_off = run("trotting", 0.3, dist,
-                        EstimatorConfig(freeze_after=10 ** 9), n)
+                        EstimatorConfig(mode="faithful", residual="reference",
+                                        freeze_after=10 ** 9), n)
 
     vx_ad = np.asarray(tr_ad.x)[:, 9]
     vx_off = np.asarray(tr_off.x)[:, 9]

@@ -62,7 +62,7 @@ def test_fit_sin_recovers_bin_aligned_sinusoid():
 def test_update_lifecycle():
     """No adaptation before window fills; fit freezes after freeze_after;
     QP wrench only released after freeze (SolverMPC.cpp:704-814)."""
-    cfg = EstimatorConfig()
+    cfg = EstimatorConfig(mode="faithful", residual="reference")
     state = est.init((), window=cfg.window, dtype=jnp.float64)
     f_true, amp_true, stat_true = 0.33, 1.25, -0.83
 
@@ -259,7 +259,8 @@ def test_ls6_closed_loop_lateral_disturbance():
                          PDIPConfig(iterations=25))
 
     _, tr_on = run(EstimatorConfig(mode="ls6", residual="discrete"))
-    _, tr_off = run(EstimatorConfig(freeze_after=10 ** 9))
+    _, tr_off = run(EstimatorConfig(mode="faithful", residual="reference",
+                                    freeze_after=10 ** 9))
     vy_on = np.asarray(tr_on.x)[:, 10]
     vy_off = np.asarray(tr_off.x)[:, 10]
     rms_on = np.sqrt((vy_on[450:] ** 2).mean())

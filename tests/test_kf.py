@@ -165,3 +165,91 @@ def test_plane_body_height():
     z, pitch = kf.plane_body_height(jnp.asarray(feet))
     assert abs(float(z) - 0.27) < 1e-6
     assert abs(float(pitch)) < 1e-6
+
+
+def test_kf_pallas_kernel_matches_oracle():
+    """Fused innovation kernel (ops/pallas/kf_kernel.py) vs a numpy
+    oracle on well-conditioned random states (interpret mode).
+
+    NOTE the init transient (P0 = 100 I against r ~ 1e-3 sensor noise,
+    cond(S) ~ 5e5) is numerically violent for EVERY f32 innovation
+    ((I - K C) Pm amplifies inverse error by ~Pm^2); both the XLA and
+    kernel paths are only comparable there to ~1e-2.  Kernel
+    correctness is pinned here on conditioned states; end-to-end f32
+    behavior on realistic inputs is pinned by the stationary test
+    below."""
+    from quad_periodic_mpc_tpu.ops.pallas import kf_kernel as KK
+
+    rng = np.random.default_rng(0)
+    B, dt = 5, 0.002
+    xhat = rng.normal(size=(B, 18)).astype(np.float32)
+    Ph = rng.normal(size=(B, 18, 18)).astype(np.float32)
+    P = (Ph @ Ph.transpose(0, 2, 1) + 18 * np.eye(18)).astype(np.float32)
+    a = rng.normal(size=(B, 3)).astype(np.float32)
+    y = rng.normal(size=(B, 28)).astype(np.float32)
+    qd = rng.uniform(0.001, 1, (B, 18)).astype(np.float32)
+    rd = rng.uniform(0.001, 1, (B, 28)).astype(np.float32)
+
+    A = np.eye(18); A[0:3, 3:6] = dt * np.eye(3)
+    Bm = np.zeros((18, 3)); Bm[3:6, :] = dt * np.eye(3)
+    C = np.zeros((28, 18))
+    for i in range(4):
+        C[3*i:3*i+3, 0:3] = np.eye(3)
+        C[12+3*i:15+3*i, 3:6] = np.eye(3)
+    C[0:12, 6:18] = -np.eye(12)
+    C[24, 8] = 1; C[25, 11] = 1; C[26, 14] = 1; C[27, 17] = 1
+    xo, Po = [], []
+    for b in range(B):
+        xp = A @ xhat[b] + Bm @ a[b]
+        Pm = A @ P[b] @ A.T + np.diag(qd[b])
+        ey = y[b] - C @ xp
+        S = C @ Pm @ C.T + np.diag(rd[b])
+        Si = np.linalg.inv(S)
+        xn = xp + Pm @ C.T @ Si @ ey
+        Pn = (np.eye(18) - Pm @ C.T @ Si @ C) @ Pm
+        Pn = (Pn + Pn.T) / 2
+        det2 = Pn[0, 0] * Pn[1, 1] - Pn[0, 1] * Pn[1, 0]
+        if det2 > 1e-6:
+            m = np.ones((18, 18)); m[0:2, 2:] = 0; m[2:, 0:2] = 0
+            Pn = Pn * m; Pn[0:2, 0:2] /= 10
+        xo.append(xn); Po.append(Pn)
+    xk, Pk = KK.fused_kf_innovate(
+        jnp.asarray(xhat), jnp.asarray(P), jnp.asarray(a), jnp.asarray(y),
+        jnp.asarray(qd), jnp.asarray(rd), dt=dt, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(xk), np.stack(xo), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(Pk), np.stack(Po), atol=5e-3)
+
+
+def test_kf_pallas_stationary_matches_xla():
+    """Realistic standing-robot loop, f32: the kernel path tracks the
+    XLA path through convergence."""
+    import jax
+
+    pr = kf.KFParams()
+    feet_w = np.array(
+        [[0.18, -0.13, 0.0], [0.18, 0.13, 0.0],
+         [-0.18, -0.13, 0.0], [-0.18, 0.13, 0.0]]
+    )
+    p_rel = (feet_w - np.array([0.0, 0.0, 0.3])).astype(np.float32)
+    args = (
+        jnp.asarray([0.0, 0.0, 9.81], jnp.float32),
+        jnp.asarray(np.eye(3, dtype=np.float32)),
+        jnp.zeros(3, jnp.float32),
+        jnp.asarray(p_rel),
+        jnp.zeros((4, 3), jnp.float32),
+        jnp.full((4,), 0.5, jnp.float32),
+    )
+    up_x = jax.jit(lambda s_: kf.update(s_, *args, pr, backend="xla"))
+    up_p = jax.jit(lambda s_: kf.update(s_, *args, pr, backend="pallas"))
+    st_x = kf.init((), jnp.float32)
+    st_p = st_x
+    for _ in range(100):
+        st_x = up_x(st_x)
+        st_p = up_p(st_p)
+    np.testing.assert_allclose(
+        np.asarray(st_p.xhat), np.asarray(st_x.xhat), atol=2e-3
+    )
+    x = np.asarray(st_p.xhat)
+    assert np.abs(x[3:6]).max() < 5e-3
+    assert abs((x[2] - x[8]) - 0.3) < 1e-2

@@ -118,7 +118,7 @@ def walking_scene(horizon, steps):
     B = (1,)
     mpc_cfg = MPCConfig(horizon=horizon)
     loop_cfg = LoopConfig()
-    est_cfg = EstimatorConfig()
+    est_cfg = EstimatorConfig(mode="faithful", residual="reference")
     solver = ADMMConfig(iterations=30, backend="pallas")
     dt_mpc = loop_cfg.dt_mpc
     hips = jnp.asarray(A1.hip_locations(), dtype)

@@ -207,6 +207,13 @@ def main() -> None:
     fence(kf_tick, "KF update (18/28 LinearKF)",
           kf_state, a_world, R_body, omega_b, p_rel, v_rel, phase)
 
+    def kf_tick_pl(st, a, Rb, om, pr, vr, ph):
+        return kf_mod.update(st, a, Rb, om, pr, vr, ph, kf_params,
+                             backend="pallas")
+
+    fence(kf_tick_pl, "KF update (fused pallas kernel)",
+          kf_state, a_world, R_body, omega_b, p_rel, v_rel, phase)
+
     wb = min(B, 256)  # WBC runs at the torque tier's batch
     mc = fb.build_a1_constants("float32")
     aplant = art.init_on_ground((wb,), penetration=3.8e-3, dtype=dtype)
@@ -230,6 +237,21 @@ def main() -> None:
         return wbc_mod.run(fbs, winp, mc)
 
     fence(wbc_tick, f"WBC run (KinWBC+WBIC, batch {wb})", fbs, winp)
+
+    def wbc_tick_pl(fbs, winp):
+        return wbc_mod.run(fbs, winp, mc, backend="pallas")
+
+    fence(wbc_tick_pl, f"WBC run (fused pallas, batch {wb})", fbs, winp)
+
+    # substage split: kin_wbc cascade vs WBIC (xla), for the lever notes
+    def wbc_b1(fbs, winp):
+        return wbc_mod.run(
+            fbs, winp, mc, backend="pallas",
+        )
+
+    fbs1 = jax.tree_util.tree_map(lambda t: t[:1], fbs)
+    winp1 = jax.tree_util.tree_map(lambda t: t[:1], winp)
+    fence(wbc_b1, "WBC run (fused pallas, batch 1)", fbs1, winp1)
 
     # full production step
     for backend in ("pallas",):
