@@ -651,6 +651,16 @@ def main() -> None:
             n_per_loop=max(args.iters // 4, 5), kkt_prefix="h64",
             warmup=4,
         )
+        # h=128: the gains-streaming kernel (per-stage K/Quu^{-1} DMA
+        # double-buffered through VMEM, fused_stagewise_solve_stream) —
+        # 6.7x the reference's hard cap of h=19 (SolverMPC.cpp:113)
+        walking_line(
+            "h=128 stagewise end-to-end (streamed gains)",
+            "h128_stagewise_solves_per_s",
+            horizon=128, batch=128, solver_cfg=lh_solver,
+            n_per_loop=max(args.iters // 4, 5), kkt_prefix="h128",
+            warmup=4,
+        )
 
     # ---- reference-default operating point: h=16 (ros_config.yaml:93,
     # ConvexMPCLocomotion.cpp:14), same plant-stepped methodology ----

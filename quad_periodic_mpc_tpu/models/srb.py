@@ -31,6 +31,7 @@ All functions here are batched: leading batch dims on inputs broadcast.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from quad_periodic_mpc_tpu.ops.rotations import skew
@@ -85,10 +86,18 @@ def ct_dynamics(
     # batched LU is a TPU pathology (measured ~2 ms of the build stage
     # at batch 2048 for what is otherwise a couple of 3x3 matmuls).
     I_inv_diag = 1.0 / jnp.asarray(I_body_diag, dtype)
-    I_inv = (R * I_inv_diag[..., None, :]) @ jnp.swapaxes(R, -1, -2)
+    hp = jax.lax.Precision.HIGHEST
+    I_inv = jnp.matmul(
+        R * I_inv_diag[..., None, :], jnp.swapaxes(R, -1, -2),
+        precision=hp,
+    )
 
     # Torque rows: I_world^{-1} [r_b]x per foot  (cross_mat, SolverMPC.cpp:252-257)
-    torque_blocks = I_inv[..., None, :, :] @ skew(r_feet)       # (..., 4, 3, 3)
+    # HIGHEST precision: default TPU bf16 matmul passes put ~1e-3
+    # relative error into the torque blocks (round-5 fused-build audit)
+    torque_blocks = jnp.matmul(
+        I_inv[..., None, :, :], skew(r_feet), precision=hp
+    )                                                           # (..., 4, 3, 3)
     torque_blocks = jnp.broadcast_to(torque_blocks, batch + (4, 3, 3))
     inv_m = jnp.asarray(1.0, dtype) / jnp.asarray(mass, dtype)
     force_block = inv_m * jnp.eye(3, dtype=dtype)

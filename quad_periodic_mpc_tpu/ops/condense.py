@@ -40,6 +40,7 @@ import functools
 from typing import NamedTuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 NX = 13
@@ -93,7 +94,9 @@ def _n_matrices(A: jnp.ndarray, dt) -> tuple[jnp.ndarray, jnp.ndarray]:
     """N = dt A + dt^2/2 A^2 and N^2 = dt^2 A^2 (using A^3 = 0)."""
     dt = jnp.asarray(dt, A.dtype)
     d1 = dt[..., None, None] if dt.ndim else dt
-    A2 = A @ A
+    # HIGHEST: default TPU bf16 matmul passes leak ~1e-3 relative error
+    # into the prediction bases (round-5 fused-build audit)
+    A2 = jnp.matmul(A, A, precision=jax.lax.Precision.HIGHEST)
     N = d1 * A + (d1 * d1 / 2.0) * A2
     N2 = d1 * d1 * A2
     return N, N2
@@ -125,15 +128,17 @@ def build_prediction(
     dt = jnp.asarray(dt, dtype)
     d1 = dt[..., None, None] if dt.ndim else dt
     N, N2 = _n_matrices(A, dt)
+    hp = jax.lax.Precision.HIGHEST
+    mm = lambda a, b: jnp.matmul(a, b, precision=hp)
     eye = jnp.eye(NX, dtype=dtype)
     Adt = eye + N
     # Phi = dt I + dt^2/2 A + dt^3/6 A^2 (exact integral of exp(As))
-    A2 = A @ A
+    A2 = mm(A, A)
     Phi = d1 * eye + (d1 * d1 / 2.0) * A + (d1 * d1 * d1 / 6.0) * A2
-    Bdt = Phi @ B
-    Qdt = Phi @ Qc
-    Xu = jnp.stack([Bdt, N @ Bdt, N2 @ Bdt], axis=-3)
-    Xw = jnp.stack([Qdt, N @ Qdt, N2 @ Qdt], axis=-3)
+    Bdt = mm(Phi, B)
+    Qdt = mm(Phi, Qc)
+    Xu = jnp.stack([Bdt, mm(N, Bdt), mm(N2, Bdt)], axis=-3)
+    Xw = jnp.stack([Qdt, mm(N, Qdt), mm(N2, Qdt)], axis=-3)
     return Prediction(Xu=Xu, Xw=Xw, N=N, N2=N2, Adt=Adt, Bdt=Bdt, Qdt=Qdt)
 
 

@@ -21,6 +21,7 @@ verification of the closed form against arbitrary (non-nilpotent) inputs.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from jax.scipy.linalg import expm as _expm
 
@@ -44,12 +45,21 @@ def nilpotent_zoh(
     dtype = A.dtype
     dt = jnp.asarray(dt, dtype)
     n = A.shape[-1]
+    # HIGHEST precision throughout: at default TPU matmul precision
+    # (bf16 passes) the Phi @ B torque blocks carry ~1e-3 relative
+    # error, which the fused-kernel audit (exact-f32 in-kernel build)
+    # exposed as h-amplified dual-residual gaps at h >= 32 (round 5)
+    hp = jax.lax.Precision.HIGHEST
     eye = jnp.eye(n, dtype=dtype)
-    A2 = A @ A
+    A2 = jnp.matmul(A, A, precision=hp)
     dt1 = dt[..., None, None] if dt.ndim else dt
     Adt = eye + dt1 * A + (dt1 * dt1 / 2.0) * A2
     Phi = dt1 * eye + (dt1 * dt1 / 2.0) * A + (dt1 * dt1 * dt1 / 6.0) * A2
-    return Adt, Phi @ B, Phi @ Qc
+    return (
+        Adt,
+        jnp.matmul(Phi, B, precision=hp),
+        jnp.matmul(Phi, Qc, precision=hp),
+    )
 
 
 def zoh_via_expm(

@@ -530,21 +530,76 @@ def residual_discrete(
     Q_d-augmented model).  u_prev here are the MPC's world-frame reaction
     forces Fr_des (NOT the negated f_ff — this path is self-consistent
     with the model the plant/QP use).
-    """
-    from quad_periodic_mpc_tpu.models import srb
-    from quad_periodic_mpc_tpu.ops import discretize
 
-    A, B, Qc = srb.ct_dynamics(
-        R_prev, r_feet_prev, mass, I_body_diag, x_drag_prev
+    MATRIX-FREE (round 5): the original implementation re-ran
+    srb.ct_dynamics + discretize.nilpotent_zoh (the scatter-heavy 13x13
+    assembly the fused MPC kernel exists to avoid) plus a tiny batched
+    jnp.linalg.solve — together ~3.5 ms/step at batch 2048, ~45% of the
+    whole production MPC step once this became the default residual.
+    The nilpotent structure (A^2 has only row 5; A^3 = 0, see
+    models/srb.ct_dynamics) makes every product a handful of vector
+    ops: Adt x_prev and Bdt u_prev are applied directly, Qdt is built
+    column-wise (no scatter), and the 6x6 normal equations go through
+    linalg.spd_inverse.  Matches the assembled path to f32 roundoff
+    (tests/test_estimator.py::test_residual_discrete_matrix_free).
+    """
+    from quad_periodic_mpc_tpu.ops import linalg
+
+    dtype = x_k.dtype
+    dts = jnp.asarray(dt, dtype)
+    xd = jnp.asarray(x_drag_prev, dtype)
+    RT = jnp.swapaxes(R_prev, -1, -2)
+
+    def apply_A(v):
+        """Continuous A @ v, state [rpy, p, omega, vel, g]:
+        rows 0:3 = R^T v[6:9], rows 3:6 = v[9:12],
+        row 11 = x_drag v[9] + v[12], everything else zero."""
+        top = jnp.einsum("...ij,...j->...i", RT, v[..., 6:9])
+        mid = v[..., 9:12]
+        z3 = jnp.zeros_like(top)
+        z1 = jnp.zeros_like(v[..., 0:1])
+        row11 = xd[..., None] * v[..., 9:10] + v[..., 12:13]
+        return jnp.concatenate(
+            [top, mid, z3, z1, z1, row11, z1], axis=-1
+        )
+
+    def a2_row5(v):
+        """(A^2 v)[5] — the only nonzero row of A^2."""
+        return xd * v[..., 9] + v[..., 12]
+
+    def apply_Phi(v):
+        """Phi v = dt v + dt^2/2 A v + dt^3/6 A^2 v."""
+        out = dts * v + (dts * dts / 2.0) * apply_A(v)
+        return out.at[..., 5].add((dts ** 3 / 6.0) * a2_row5(v))
+
+    # B u in acceleration space: omega_dot = I_world^{-1} sum r_b x f_b,
+    # v_dot = sum f_b / m (I_world^{-1} = R diag(1/I) R^T)
+    I_inv_diag = 1.0 / jnp.asarray(I_body_diag, dtype)
+    tau_w = jnp.cross(r_feet_prev, u_prev_forces).sum(axis=-2)
+    omega_dot = jnp.einsum(
+        "...ij,...j->...i", R_prev,
+        I_inv_diag * jnp.einsum("...ij,...j->...i", RT, tau_w),
     )
-    Adt, Bdt, Qdt = discretize.nilpotent_zoh(A, B, Qc, dt)
-    u_prev = u_prev_forces.reshape(u_prev_forces.shape[:-2] + (12,))
-    xi = (
-        x_k
-        - jnp.einsum("...ij,...j->...i", Adt, x_prev)
-        - jnp.einsum("...ij,...j->...i", Bdt, u_prev)
-    )
-    # normal equations: w = (Qdt^T Qdt)^{-1} Qdt^T xi   (6x6 solve)
+    v_dot = u_prev_forces.sum(axis=-2) / jnp.asarray(mass, dtype)
+    z3 = jnp.zeros_like(v_dot)
+    z1 = jnp.zeros_like(v_dot[..., 0:1])
+    Bu = jnp.concatenate([z3, z3, omega_dot, v_dot, z1], axis=-1)
+
+    Adt_x = (
+        x_prev + dts * apply_A(x_prev)
+    ).at[..., 5].add((dts * dts / 2.0) * a2_row5(x_prev))
+    xi = x_k - Adt_x - apply_Phi(Bu)
+
+    # Qdt columns = Phi e_{6+i} (Qc rows 6:12 = I_6), built column-wise
+    batch = xi.shape[:-1]
+    cols = []
+    for i in range(6):
+        e = jnp.zeros(batch + (13,), dtype).at[..., 6 + i].set(1.0)
+        cols.append(apply_Phi(e))
+    Qdt = jnp.stack(cols, axis=-1)                          # (..., 13, 6)
+
+    # normal equations via the exact Schur spd_inverse (jnp.linalg.solve
+    # on tiny batched systems is the known TPU pathology)
     G = jnp.einsum("...ni,...nj->...ij", Qdt, Qdt)
     b = jnp.einsum("...ni,...n->...i", Qdt, xi)
-    return jnp.linalg.solve(G, b[..., None])[..., 0]
+    return jnp.einsum("...ij,...j->...i", linalg.spd_inverse(G), b)

@@ -359,42 +359,16 @@ def _kernel(
     )
 
 
-def _kernel_srb(
-    R_ref,        # (3, 3, C) body->world rotation
-    rf_ref,       # (NU, C) r_feet flattened (foot-major xyz)
-    xd_ref,       # (1, C) x_drag
-    fe_ref,       # (6, C) f_est wrench [tau; f]
-    x0_ref, xref_ref, l_ref, u_ref, U0_ref, z0_ref, y0_ref,
-    Qm_ref, Reff_ref, A20_ref,
-    U_out, z_out, y_out,
-    *scratch,
-    h: int,
-    iters: int,
-    rho: float,
-    over_relax: float,
-    ns_it: int,
-    dt: float,
-    mass: float,
-    i_inv_diag: tuple,
-    lean: bool = False,
-):
-    """Fused problem build: assembles the discrete SRB dynamics
-    (Ad, Bd) and the disturbance affine term c IN-KERNEL from the raw
-    observation quantities, exploiting the nilpotent closed forms
-    (models/srb.py: A^2 has only row 5 nonzero, A^3 = 0 — so
-    Adt = I + dt A + dt^2/2 A^2 and Phi = dt I + dt^2/2 A + dt^3/6 A^2
-    are direct entry assemblies, no matmul chains).  Replaces the XLA
-    build stage's scatter-heavy ct_dynamics + build_prediction (~2 ms
-    at batch 2048 — dominated by dispatch/fusion overhead on tiny
-    .at[].set chains, not arithmetic)."""
-    C = R_ref.shape[-1]
+def _srb_assemble(Rm, rf, xdrag, fe, *, dt, mass, i_inv_diag):
+    """In-kernel SRB linearization + nilpotent-ZOH discretization
+    (shared by _kernel_srb and the debug dump kernel): assembles
+    (Ad, Bd, c) lane-major from the raw observation quantities.
+    Rm (3,3,C), rf (12,C), xdrag (C,), fe (6,C)."""
+    C = Rm.shape[-1]
     f32 = jnp.float32
     dt2 = dt * dt / 2.0
     dt3 = dt * dt * dt / 6.0
-    Rm = R_ref[:]                                   # (3, 3, C)
     RT = _t(Rm, 3, 3)
-    xdrag = xd_ref[0]                               # (C,)
-    fe = fe_ref[:]                                  # (6, C)
     zC = jnp.zeros((C,), f32)
     oneC = jnp.ones((C,), f32)
 
@@ -411,7 +385,7 @@ def _kernel_srb(
     Tbs = []
     RTTbs = []
     for b in range(4):
-        rx, ry, rz = rf_ref[3 * b], rf_ref[3 * b + 1], rf_ref[3 * b + 2]
+        rx, ry, rz = rf[3 * b], rf[3 * b + 1], rf[3 * b + 2]
         skew = jnp.stack([
             jnp.stack([zC, -rz, ry], axis=0),
             jnp.stack([rz, zC, -rx], axis=0),
@@ -480,6 +454,41 @@ def _kernel_srb(
     c_rows[11] = c_rows[11] + dt2 * xdrag * ff[0]
     c_vec = jnp.stack(c_rows, axis=0)                # (NX, C)
 
+    return Ad, Bd, c_vec
+
+
+def _kernel_srb(
+    R_ref,        # (3, 3, C) body->world rotation
+    rf_ref,       # (NU, C) r_feet flattened (foot-major xyz)
+    xd_ref,       # (1, C) x_drag
+    fe_ref,       # (6, C) f_est wrench [tau; f]
+    x0_ref, xref_ref, l_ref, u_ref, U0_ref, z0_ref, y0_ref,
+    Qm_ref, Reff_ref, A20_ref,
+    U_out, z_out, y_out,
+    *scratch,
+    h: int,
+    iters: int,
+    rho: float,
+    over_relax: float,
+    ns_it: int,
+    dt: float,
+    mass: float,
+    i_inv_diag: tuple,
+    lean: bool = False,
+):
+    """Fused problem build: assembles the discrete SRB dynamics
+    (Ad, Bd) and the disturbance affine term c IN-KERNEL from the raw
+    observation quantities, exploiting the nilpotent closed forms
+    (models/srb.py: A^2 has only row 5 nonzero, A^3 = 0 — so
+    Adt = I + dt A + dt^2/2 A^2 and Phi = dt I + dt^2/2 A + dt^3/6 A^2
+    are direct entry assemblies, no matmul chains).  Replaces the XLA
+    build stage's scatter-heavy ct_dynamics + build_prediction (~2 ms
+    at batch 2048 — dominated by dispatch/fusion overhead on tiny
+    .at[].set chains, not arithmetic)."""
+    Ad, Bd, c_vec = _srb_assemble(
+        R_ref[:], rf_ref[:], xd_ref[0], fe_ref[:],
+        dt=dt, mass=mass, i_inv_diag=i_inv_diag,
+    )
     _solve_body(
         Ad, Bd, lambda k: c_vec,
         x0_ref, xref_ref, l_ref, u_ref, U0_ref, z0_ref, y0_ref,
@@ -776,3 +785,426 @@ def fused_stagewise_solve_srb(
         from_lanes(z_o, (h, NC)),
         from_lanes(y_o, (h, NC)),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gains-streaming variant (h > 64): the per-stage gains no longer fit
+# VMEM (K alone is ~12.6 MB at h = 128), so the backward Riccati spills
+# them to HBM scratch in stage BLOCKS and the ADMM sweeps stream them
+# back through double-buffered VMEM slots — per-sweep DMA overlaps the
+# previous block's compute (pallas_guide double-buffering pattern).
+# This is the capability axis the reference hard-caps at h = 19
+# (SolverMPC.cpp:113-116).
+# ---------------------------------------------------------------------------
+
+_SB = 8            # stages per streamed block
+_NBUF = 2          # double buffer
+
+
+def _kernel_stream(
+    Ad_ref,       # (NX, NX, C)
+    Bd_ref,       # (NX, NU, C)
+    c_ref,        # (h, NX, C)
+    x0_ref,       # (NX, C)
+    xref_ref,     # (h, NX, C)
+    l_ref,        # (h, NC, C)
+    u_ref,        # (h, NC, C)
+    U0_ref,       # aliased with U_io (unused name)
+    z0_ref,       # aliased with z_io
+    y0_ref,       # aliased with y_io
+    Qm_ref,       # (NX, NX)
+    Reff_ref,     # (NU, NU)
+    A20_ref,      # (NC, NU)
+    U_io,         # (h, NU, C)  in/out (seeded with warm start)
+    z_io,         # (h, NC, C)  in/out
+    y_io,         # (h, NC, C)  in/out
+    Pc_scr,       # (h, NX, C)
+    P_scr,        # (NX, NX, C)
+    p_scr,        # (h, NX, C)
+    K_hbm,        # (nblk, SB, NU, NX, C)  HBM
+    M_hbm,        # (nblk, SB, NPACK, C)   HBM
+    Kbuf,         # (NBUF, SB, NU, NX, C)  VMEM
+    Mbuf,         # (NBUF, SB, NPACK, C)   VMEM
+    sem_kw, sem_mw, sem_kr, sem_mr,        # DMA sems (NBUF,) each
+    *,
+    h: int,
+    iters: int,
+    rho: float,
+    over_relax: float,
+    ns_it: int,
+):
+    del U0_ref, z0_ref, y0_ref
+    C = Ad_ref.shape[-1]
+    f32 = jnp.float32
+    nblk = h // _SB
+    Ad = Ad_ref[:]
+    Bd = Bd_ref[:]
+    AdT = _t(Ad, NX, NX)
+    BdT = _t(Bd, NX, NU)
+    Qm = Qm_ref[:][:, :, None]
+    Reff = Reff_ref[:][:, :, None]
+    A20 = A20_ref[:]
+    hp = jax.lax.Precision.HIGHEST
+
+    P_scr[:] = jnp.broadcast_to(Qm, (NX, NX, C)).astype(f32)
+    eyeu = jax.lax.broadcasted_iota(jnp.int32, (NU, NU), 0) == \
+        jax.lax.broadcasted_iota(jnp.int32, (NU, NU), 1)
+    eyeu = jnp.where(eyeu, 1.0, 0.0).astype(f32)[:, :, None]
+    ns_warm = max(ns_it * 2 // 3, 8)
+    Qd = jnp.stack([Qm[i, i, :] for i in range(NX)], axis=0)   # (NX, 1)
+
+    def k_write_dma(ws, b):
+        return pltpu.make_async_copy(Kbuf.at[ws], K_hbm.at[b], sem_kw.at[ws])
+
+    def m_write_dma(ws, b):
+        return pltpu.make_async_copy(Mbuf.at[ws], M_hbm.at[b], sem_mw.at[ws])
+
+    def k_read_dma(rs, b):
+        return pltpu.make_async_copy(K_hbm.at[b], Kbuf.at[rs], sem_kr.at[rs])
+
+    def m_read_dma(rs, b):
+        return pltpu.make_async_copy(M_hbm.at[b], Mbuf.at[rs], sem_mr.at[rs])
+
+    # ---- factorize: backward Riccati, gains spilled per block ----
+    def backward_block(bb, X_carry):
+        ws = bb % _NBUF
+        b = nblk - 1 - bb
+
+        @pl.when(bb >= _NBUF)
+        def _():
+            b_old = nblk - 1 - (bb - _NBUF)
+            k_write_dma(ws, b_old).wait()
+            m_write_dma(ws, b_old).wait()
+
+        def stage(ss, X_prev):
+            lo = _SB - 1 - ss
+            k = b * _SB + lo
+            P = P_scr[:]
+            BtP = _mm(BdT, P, NX)
+            Quu = Reff + _mm(BtP, Bd, NX)
+
+            def ns_round(_, X):
+                MX = _mm(Quu, X, NU)
+                return _mm(X, 2.0 * eyeu - MX, NU)
+
+            def cold(Xp):
+                absQ = jnp.abs(Quu)
+                row = absQ[:, 0, :]
+                for j in range(1, NU):
+                    row = row + absQ[:, j, :]
+                norm = row[0]
+                for i in range(1, NU):
+                    norm = jnp.maximum(norm, row[i])
+                X = jnp.broadcast_to(eyeu, (NU, NU, C)) / norm[None, None, :]
+                return jax.lax.fori_loop(0, ns_it, ns_round, X)
+
+            def warm(Xp):
+                M = _mm(Xp, Quu, NU)
+                E = jnp.abs(eyeu - M)
+                row = E[:, 0, :]
+                for j in range(1, NU):
+                    row = row + E[:, j, :]
+                r = row[0]
+                for i in range(1, NU):
+                    r = jnp.maximum(r, row[i])
+                alpha = jnp.where(r < 0.9, 1.0, 1.8 / (1.0 + r))
+                X = _mm(alpha[None, None, :] * Xp,
+                        2.0 * eyeu - alpha[None, None, :] * M, NU)
+                return jax.lax.fori_loop(0, ns_warm - 1, ns_round, X)
+
+            first = (bb == 0) & (ss == 0)
+            Minv = jax.lax.cond(first, cold, warm, X_prev)
+            Qux = _mm(BtP, Ad, NX)
+            K = _mm(Minv, Qux, NU)
+            Kbuf[ws, lo] = K
+            Mbuf[ws, lo] = _pack_sym(Minv)
+            Pc_scr[k] = _mv(P, c_ref[k], NX)
+            AtP = _mm(AdT, P, NX)
+            P_new = Qm + _mm(AtP, Ad, NX) - _mm(_t(Qux, NU, NX), K, NU)
+            P_new = (P_new + _t(P_new, NX, NX)) / 2.0
+            P_scr[:] = P_new
+            return Minv
+
+        X = jax.lax.fori_loop(0, _SB, stage, X_carry)
+        k_write_dma(ws, b).start()
+        m_write_dma(ws, b).start()
+        return X
+
+    jax.lax.fori_loop(
+        0, nblk, backward_block, jnp.zeros((NU, NU, C), f32)
+    )
+    # drain the last NBUF block writes
+    for t in range(_NBUF):
+        bb = nblk - _NBUF + t
+        if bb < 0:
+            continue
+        k_write_dma(bb % _NBUF, nblk - 1 - bb).wait()
+        m_write_dma(bb % _NBUF, nblk - 1 - bb).wait()
+
+    # ---- ADMM iterations with streamed gains ----
+    a = over_relax
+    rho_inv = 1.0 / rho
+    A20T = A20.T
+    qT = -(Qd * xref_ref[h - 1])
+
+    def iteration(_, carry):
+        # backward costate sweep: blocks descending, K streamed
+        k_read_dma(0, nblk - 1).start()
+
+        def bwd_block(bb, p):
+            rs = bb % _NBUF
+            blk = nblk - 1 - bb
+
+            @pl.when(bb + 1 < nblk)
+            def _():
+                k_read_dma((bb + 1) % _NBUF, blk - 1).start()
+
+            k_read_dma(rs, blk).wait()
+
+            def stage(ss, p):
+                lo = _SB - 1 - ss
+                k = blk * _SB + lo
+                p_scr[k] = p
+                w = rho * z_io[k] - y_io[k]
+                rk = jnp.dot(
+                    A20T, w, preferred_element_type=f32, precision=hp
+                )
+                K = Kbuf[rs, lo]
+                Pc = Pc_scr[k]
+                v = Pc + p
+                Ftv = _mv(AdT, v, NX) - _tmv(K, _mv(BdT, v, NX)[:NU], NU)
+                km1 = jnp.maximum(k - 1, 0)
+                qs = -(Qd * xref_ref[km1])
+                qk = jnp.where(k >= 1, qs, jnp.zeros_like(qs))
+                return qk + Ftv + _tmv(K, rk, NU)
+
+            return jax.lax.fori_loop(0, _SB, stage, p)
+
+        jax.lax.fori_loop(0, nblk, bwd_block, qT)
+
+        # forward rollout: blocks ascending, K + Minv streamed
+        k_read_dma(0, 0).start()
+        m_read_dma(0, 0).start()
+
+        def fwd_block(blk, x):
+            rs = blk % _NBUF
+
+            @pl.when(blk + 1 < nblk)
+            def _():
+                k_read_dma((blk + 1) % _NBUF, blk + 1).start()
+                m_read_dma((blk + 1) % _NBUF, blk + 1).start()
+
+            k_read_dma(rs, blk).wait()
+            m_read_dma(rs, blk).wait()
+
+            def stage(lo, x):
+                k = blk * _SB + lo
+                K = Kbuf[rs, lo]
+                w = rho * z_io[k] - y_io[k]
+                rk = jnp.dot(
+                    A20T, w, preferred_element_type=f32, precision=hp
+                )
+                Minv_k = _unpack_sym(Mbuf[rs, lo])
+                BtPp = _mv(BdT, Pc_scr[k] + p_scr[k], NX)
+                kff = _mv(Minv_k, BtPp - rk, NU)
+                u_t = -_mv(K, x, NX) - kff
+                x_new = _mv(Ad, x, NX) + _mv(Bd, u_t, NU) + c_ref[k]
+                Fu_t = jnp.dot(
+                    A20, u_t, preferred_element_type=f32, precision=hp
+                )
+                z = z_io[k]
+                y = y_io[k]
+                U_io[k] = a * u_t + (1.0 - a) * U_io[k]
+                Fu_r = a * Fu_t + (1.0 - a) * z
+                z_new = jnp.clip(Fu_r + rho_inv * y, l_ref[k], u_ref[k])
+                z_io[k] = z_new
+                y_io[k] = y + rho * (Fu_r - z_new)
+                return x_new
+
+            return jax.lax.fori_loop(0, _SB, stage, x)
+
+        jax.lax.fori_loop(0, nblk, fwd_block, x0_ref[:])
+        return carry
+
+    jax.lax.fori_loop(0, iters, iteration, 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("iters", "rho", "over_relax", "ns_it", "interpret"),
+)
+def fused_stagewise_solve_stream(
+    Ad: jnp.ndarray,        # (B, NX, NX)
+    Bd: jnp.ndarray,        # (B, NX, NU)
+    c: jnp.ndarray,         # (B, h, NX) or (B, NX)
+    x0: jnp.ndarray,        # (B, NX)
+    x_ref: jnp.ndarray,     # (B, h, NX)
+    Q: jnp.ndarray,         # (NX,)
+    R_eff: jnp.ndarray,     # (NU, NU)
+    F: jnp.ndarray,         # (5, 3)
+    l: jnp.ndarray,         # (B, h, NC)
+    u: jnp.ndarray,         # (B, h, NC)
+    U0: jnp.ndarray,
+    z0: jnp.ndarray,
+    y0: jnp.ndarray,
+    iters: int,
+    rho: float,
+    over_relax: float = 1.6,
+    ns_it: int = 16,
+    interpret: bool = False,
+):
+    """Gains-streaming stagewise solve for h in (64, 128].  Returns
+    (U, z, y).  Requires h % 8 == 0 (stage-block granularity)."""
+    B = x0.shape[0]
+    h = x_ref.shape[1]
+    assert h % _SB == 0, "stream kernel needs h % 8 == 0"
+    C = 128
+    f32 = jnp.float32
+    nblk = h // _SB
+
+    if c.ndim == 2:
+        c = jnp.broadcast_to(c[:, None, :], (B, h, NX))
+
+    pad = (-B) % C
+    if pad:
+        padv = lambda t: jnp.concatenate(
+            [t, jnp.repeat(t[-1:], pad, axis=0)], axis=0
+        )
+        Ad, Bd, c, x0, x_ref, l, u, U0, z0, y0 = map(
+            padv, (Ad, Bd, c, x0, x_ref, l, u, U0, z0, y0)
+        )
+    Bp = x0.shape[0]
+    nc = Bp // C
+
+    def to_lanes(t):
+        extra = t.shape[1:]
+        return jnp.moveaxis(
+            t.astype(f32).reshape((nc, C) + extra), 1, -1
+        )
+
+    Ad_t, Bd_t, c_t, x0_t, xref_t, l_t, u_t, U_t, z_t, y_t = map(
+        to_lanes, (Ad, Bd, c, x0, x_ref, l, u, U0, z0, y0)
+    )
+    Qm = jnp.diag(Q.astype(f32))
+    A20 = jnp.kron(jnp.eye(4, dtype=f32), F.astype(f32))
+
+    kernel = functools.partial(
+        _kernel_stream, h=h, iters=iters, rho=float(rho),
+        over_relax=float(over_relax), ns_it=ns_it,
+    )
+    scratch = [
+        pltpu.VMEM((h, NX, C), f32),               # Pc
+        pltpu.VMEM((NX, NX, C), f32),              # P carry
+        pltpu.VMEM((h, NX, C), f32),               # p costate
+        pltpu.HBM((nblk, _SB, NU, NX, C), f32),    # K (streamed)
+        pltpu.HBM((nblk, _SB, NPACK, C), f32),     # Minv packed (streamed)
+        pltpu.VMEM((_NBUF, _SB, NU, NX, C), f32),  # K double buffer
+        pltpu.VMEM((_NBUF, _SB, NPACK, C), f32),   # Minv double buffer
+        pltpu.SemaphoreType.DMA((_NBUF,)),
+        pltpu.SemaphoreType.DMA((_NBUF,)),
+        pltpu.SemaphoreType.DMA((_NBUF,)),
+        pltpu.SemaphoreType.DMA((_NBUF,)),
+    ]
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    call = pl.pallas_call(
+        kernel,
+        in_specs=[vmem] * 13,
+        out_specs=[vmem] * 3,
+        out_shape=[
+            jax.ShapeDtypeStruct((h, NU, C), f32),
+            jax.ShapeDtypeStruct((h, NC, C), f32),
+            jax.ShapeDtypeStruct((h, NC, C), f32),
+        ],
+        # warm-start carries ARE the outputs: alias to skip both the
+        # seed copy and 3 x (h, NC, C) of VMEM
+        input_output_aliases={7: 0, 8: 1, 9: 2},
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )
+    U_o, z_o, y_o = jax.lax.map(
+        lambda t: call(*t, Qm, R_eff.astype(f32), A20),
+        (Ad_t, Bd_t, c_t, x0_t, xref_t, l_t, u_t, U_t, z_t, y_t),
+    )
+
+    def from_lanes(t, inner):
+        return jnp.moveaxis(t, -1, 1).reshape((Bp,) + inner)[:B]
+
+    return (
+        from_lanes(U_o, (h, NU)),
+        from_lanes(z_o, (h, NC)),
+        from_lanes(y_o, (h, NC)),
+    )
+
+
+def _kernel_srb_dump(R_ref, rf_ref, xd_ref, fe_ref, Ad_out, Bd_out, c_out,
+                     *, dt, mass, i_inv_diag):
+    Ad, Bd, c_vec = _srb_assemble(
+        R_ref[:], rf_ref[:], xd_ref[0], fe_ref[:],
+        dt=dt, mass=mass, i_inv_diag=i_inv_diag,
+    )
+    Ad_out[:] = Ad
+    Bd_out[:] = Bd
+    c_out[:] = c_vec
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("dt", "mass", "i_inv_diag", "interpret"),
+)
+def srb_build_dump(
+    R: jnp.ndarray,         # (B, 3, 3)
+    r_feet: jnp.ndarray,    # (B, 4, 3)
+    x_drag: jnp.ndarray,    # (B,)
+    f_est: jnp.ndarray,     # (B, 6)
+    dt: float = 0.026,
+    mass: float = 12.0,
+    i_inv_diag: tuple = (1 / 0.07, 1 / 0.26, 1 / 0.242),
+    interpret: bool = False,
+):
+    """Materialize the IN-KERNEL SRB build (audit hook): returns
+    (Ad (B,13,13), Bd (B,13,12), c (B,13)) exactly as _kernel_srb
+    assembles them — lets tests/probes diff the fused build against the
+    XLA build on real hardware."""
+    B = x_drag.shape[0]
+    C = 128
+    f32 = jnp.float32
+    rf = r_feet.reshape(B, NU)
+    xd = x_drag.reshape(B, 1)
+    pad = (-B) % C
+    args = (R, rf, xd, f_est)
+    if pad:
+        padv = lambda t: jnp.concatenate(
+            [t, jnp.repeat(t[-1:], pad, axis=0)], axis=0
+        )
+        args = tuple(map(padv, args))
+    Bp = args[1].shape[0]
+    nc = Bp // C
+
+    def to_lanes(t):
+        extra = t.shape[1:]
+        return jnp.moveaxis(t.astype(f32).reshape((nc, C) + extra), 1, -1)
+
+    lanes = tuple(map(to_lanes, args))
+    kernel = functools.partial(
+        _kernel_srb_dump, dt=float(dt), mass=float(mass),
+        i_inv_diag=tuple(i_inv_diag),
+    )
+    chunk = lambda *shape: pl.BlockSpec(
+        (None,) + shape, lambda i: (i,) + (0,) * len(shape),
+        memory_space=pltpu.VMEM,
+    )
+    Ad_o, Bd_o, c_o = pl.pallas_call(
+        kernel,
+        grid=(nc,),
+        in_specs=[chunk(3, 3, C), chunk(NU, C), chunk(1, C), chunk(6, C)],
+        out_specs=[chunk(NX, NX, C), chunk(NX, NU, C), chunk(NX, C)],
+        out_shape=[
+            jax.ShapeDtypeStruct((nc, NX, NX, C), f32),
+            jax.ShapeDtypeStruct((nc, NX, NU, C), f32),
+            jax.ShapeDtypeStruct((nc, NX, C), f32),
+        ],
+        interpret=interpret,
+    )(*lanes)
+
+    unl = lambda t, inner: jnp.moveaxis(t, -1, 1).reshape((Bp,) + inner)[:B]
+    return unl(Ad_o, (NX, NX)), unl(Bd_o, (NX, NU)), unl(c_o, (NX,))

@@ -643,9 +643,14 @@ def solve(
     # beyond which fall back to XLA.  The kernel is f32-internal, so
     # f64 problems stay on the XLA path instead of silently demoting
     # (ADVICE r4).
-    if cfg.backend == "pallas" and h <= 64 and dtype == jnp.float32:
+    use_stream = 64 < h <= 128 and h % 8 == 0
+    if cfg.backend == "pallas" and dtype == jnp.float32 and (
+        h <= 64 or use_stream
+    ):
         # fused kernel: factorize + all iterations VMEM-resident per
-        # 128-lane chunk (ops/pallas/stagewise_kernel.py)
+        # 128-lane chunk (ops/pallas/stagewise_kernel.py); h > 64
+        # streams the per-stage gains through double-buffered VMEM
+        # (fused_stagewise_solve_stream)
         from quad_periodic_mpc_tpu.ops.pallas import stagewise_kernel
 
         flat = lambda t, *extra: jnp.broadcast_to(
@@ -667,7 +672,11 @@ def solve(
             jnp.eye(4, dtype=dtype),
             jnp.swapaxes(prob.F, -1, -2) @ prob.F,
         )
-        U, z, y = stagewise_kernel.fused_stagewise_solve(
+        solve_fn = (
+            stagewise_kernel.fused_stagewise_solve_stream if use_stream
+            else stagewise_kernel.fused_stagewise_solve
+        )
+        U, z, y = solve_fn(
             flat(prob.Ad, NX, NX), flat(prob.Bd, NX, NU), c_flat,
             flat(prob.x0, NX), flat(prob.x_ref, h, NX),
             prob.Q.astype(dtype), R_eff, prob.F.astype(dtype),

@@ -298,3 +298,42 @@ def test_estimator_static_and_off_arms():
     assert -25.0 < fx < 5.0
     # and only channel 3 is fed (reference tracks f_ext[3] only)
     assert float(jnp.abs(jnp.asarray(f_st).at[3].set(0.0)).max()) == 0.0
+
+
+def test_residual_discrete_matrix_free():
+    """The round-5 matrix-free residual_discrete must match the
+    assembled ct_dynamics + nilpotent_zoh + lstsq path to roundoff."""
+    from quad_periodic_mpc_tpu.models import srb
+    from quad_periodic_mpc_tpu.ops import discretize
+    from quad_periodic_mpc_tpu.ops import estimator as est_ops
+    from quad_periodic_mpc_tpu.ops.rotations import rpy_to_quat, quat_to_rotmat
+
+    rng = np.random.default_rng(3)
+    B = 5
+    dt = 0.026
+    mass = 12.0
+    I_diag = jnp.asarray([0.07, 0.26, 0.242], jnp.float64)
+    rpy = rng.uniform(-0.2, 0.2, (B, 3))
+    R = quat_to_rotmat(rpy_to_quat(jnp.asarray(rpy)))
+    r_feet = jnp.asarray(rng.uniform(-0.3, 0.3, (B, 4, 3)))
+    u = jnp.asarray(rng.uniform(-40, 40, (B, 4, 3)))
+    x_prev = jnp.asarray(rng.uniform(-1, 1, (B, 13)))
+    x_k = jnp.asarray(rng.uniform(-1, 1, (B, 13)))
+    xd = jnp.asarray(rng.uniform(-0.5, 0.5, (B,)))
+
+    w_fast = est_ops.residual_discrete(
+        x_k, x_prev, u, R, r_feet, mass, I_diag, xd, dt
+    )
+
+    A, Bm, Qc = srb.ct_dynamics(R, r_feet, mass, I_diag, xd)
+    Adt, Bdt, Qdt = discretize.nilpotent_zoh(A, Bm, Qc, dt)
+    u12 = u.reshape(B, 12)
+    xi = (
+        x_k
+        - jnp.einsum("...ij,...j->...i", Adt, x_prev)
+        - jnp.einsum("...ij,...j->...i", Bdt, u12)
+    )
+    G = jnp.einsum("...ni,...nj->...ij", Qdt, Qdt)
+    b = jnp.einsum("...ni,...n->...i", Qdt, xi)
+    w_ref = np.linalg.solve(np.asarray(G), np.asarray(b)[..., None])[..., 0]
+    np.testing.assert_allclose(np.asarray(w_fast), w_ref, atol=1e-8)

@@ -356,3 +356,67 @@ def test_fused_kernel_lean_mode_long_horizon():
     np.testing.assert_allclose(
         np.asarray(U_p), np.asarray(U_x), atol=3e-2
     )
+
+
+def test_stream_kernel_matches_resident():
+    """The gains-streaming kernel (fused_stagewise_solve_stream) runs
+    the SAME math as the VMEM-resident kernel with K/Quu^{-1} spilled
+    to HBM and streamed back per stage block — outputs must agree to
+    f32 roundoff at a horizon both can run."""
+    import jax.numpy as jnp
+
+    from quad_periodic_mpc_tpu.ops.pallas import stagewise_kernel as SK
+
+    qp, sw, cfg, _ = make_problems(horizon=16, seed=9)
+    h = 16
+    B = sw.x0.shape[0]
+    f32 = jnp.float32
+    R_eff = jnp.diag(sw.R.astype(f32)) + 0.12 * jnp.kron(
+        jnp.eye(4, dtype=f32), jnp.swapaxes(sw.F, -1, -2) @ sw.F
+    )
+    flat = lambda t, *extra: jnp.broadcast_to(
+        t, (B,) + extra
+    ).astype(f32)
+    zeros = lambda r: jnp.zeros((B, h, r), f32)
+    args = (
+        flat(sw.Ad, 13, 13), flat(sw.Bd, 13, 12), flat(sw.c, 13),
+        flat(sw.x0, 13), flat(sw.x_ref, h, 13),
+        sw.Q.astype(f32), R_eff, sw.F.astype(f32),
+        flat(sw.l, h, 20), flat(sw.u, h, 20),
+        zeros(12), zeros(20), zeros(20),
+    )
+    kw = dict(iters=30, rho=0.12, ns_it=16, interpret=True)
+    U_r, z_r, y_r = SK.fused_stagewise_solve(*args, **kw)
+    U_s, z_s, y_s = SK.fused_stagewise_solve_stream(*args, **kw)
+    np.testing.assert_allclose(np.asarray(U_s), np.asarray(U_r), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(z_s), np.asarray(z_r), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(y_s), np.asarray(y_r), atol=1e-2)
+
+
+def test_stream_kernel_h72_end_to_end():
+    """64 < h <= 128 dispatches the streaming kernel through
+    qp_stagewise.solve; KKT-gated vs the XLA path at h = 72."""
+    import jax.numpy as jnp
+
+    qp, sw, cfg, _ = make_problems(horizon=24, seed=6)
+    reps = 3
+    h = 72
+    swl = sw._replace(
+        x_ref=jnp.tile(sw.x_ref, (reps, 1)).astype(jnp.float32),
+        l=jnp.tile(sw.l, (reps, 1)).astype(jnp.float32),
+        u=jnp.tile(sw.u, (reps, 1)).astype(jnp.float32),
+        Ad=sw.Ad.astype(jnp.float32), Bd=sw.Bd.astype(jnp.float32),
+        c=sw.c.astype(jnp.float32), x0=sw.x0.astype(jnp.float32),
+        Q=sw.Q.astype(jnp.float32), R=sw.R.astype(jnp.float32),
+        F=sw.F.astype(jnp.float32),
+    )
+    U_x, info_x = qp_stagewise.solve(swl, ADMMConfig(iterations=60))
+    U_p, info_p = qp_stagewise.solve(
+        swl, ADMMConfig(iterations=60, backend="pallas")
+    )
+    res_p = qp_stagewise.kkt_residuals(swl, U_p, info_p["z"], info_p["y"])
+    assert float(jnp.max(res_p["primal"])) < 2e-2
+    assert float(jnp.max(res_p["dual"])) < 3e-3
+    np.testing.assert_allclose(
+        np.asarray(U_p), np.asarray(U_x), atol=5e-2
+    )
