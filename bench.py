@@ -810,7 +810,7 @@ def main() -> None:
                 carry, _ = FS.rollout_articulated(
                     1, plant, ctrl, fs_cmd, fs_gait, MC, mpc_cfg=fs_cfg,
                     solver=fs_solver, use_wbc=True, substeps=10,
-                    wbc_backend="pallas",
+                    wbc_backend="pallas", kin_backend="pallas",
                 )
                 return carry.plant, carry.ctrl
 
@@ -889,6 +889,7 @@ def main() -> None:
                     K_periods, plant, ctrl, cmd1, fs_gait, MC,
                     mpc_cfg=fs_cfg, solver=fs_solver, use_wbc=True,
                     substeps=10, wbc_backend="pallas",
+                    kin_backend="pallas",
                 )
                 return carry.plant, carry.ctrl
 
@@ -917,9 +918,15 @@ def main() -> None:
             cparams = art.ContactParams()
 
             def plant_chain(plant):
+                from quad_periodic_mpc_tpu.ops.pallas import (
+                    kinematics_kernel as _kk,
+                )
+
                 def tick(p, _):
-                    cache = art.model_cache(p, MC)
-                    info = fb.contact_jacobians(p.fb, MC)
+                    _, Ainv_p, G_p, C_p, info = _kk.fused_model_eval(
+                        p.fb, MC
+                    )
+                    cache = (Ainv_p, G_p, C_p)
 
                     def sub(c, _):
                         pp, pf = c
@@ -956,14 +963,14 @@ def main() -> None:
                     c, tau, _ = FS.controller_tick(
                         plant, c, cmd1, fs_gait, MC, True,
                         mpc_cfg=fs_cfg, solver=fs_solver,
-                        wbc_backend="pallas",
+                        wbc_backend="pallas", kin_backend="pallas",
                     )
 
                     def inner(cc, _):
                         cc, tau_i, _ = FS.controller_tick(
                             plant, cc, cmd1, fs_gait, MC, False,
                             mpc_cfg=fs_cfg, solver=fs_solver,
-                            wbc_backend="pallas",
+                            wbc_backend="pallas", kin_backend="pallas",
                         )
                         return cc, jnp.sum(tau_i)
 

@@ -44,11 +44,26 @@ class FullStackCarry(NamedTuple):
     ctrl: mpc_mod.ControllerState
 
 
-def observe_plant(plant: art.ArtState, mc: fb.ModelConstants):
-    """Cheater estimate from the articulated plant (cheater_mode path)."""
+def observe_plant(plant: art.ArtState, mc: fb.ModelConstants,
+                  kin_backend: str = "xla"):
+    """Cheater estimate from the articulated plant (cheater_mode path).
+
+    kin_backend="pallas" computes the contact kinematics (FK + foot
+    Jacobians) in the fused lane-major kernel
+    (ops/pallas/kinematics_kernel.py) — the b=1 tick's dominant
+    XLA-op-count stage (~1.3 ms/tick, tools/probe_b1_split.py)."""
     s = plant.fb
     R = quat_to_rotmat(s.quat)
-    info = fb.contact_jacobians(s, mc)
+    if kin_backend == "pallas":
+        import jax
+
+        from quad_periodic_mpc_tpu.ops.pallas import kinematics_kernel
+
+        info = kinematics_kernel.fused_contact_kinematics(
+            s, mc, interpret=jax.default_backend() == "cpu"
+        )
+    else:
+        info = fb.contact_jacobians(s, mc)
     v_world = jnp.einsum("...ij,...j->...i", R, s.v_body[..., 3:6])
     omega_world = jnp.einsum("...ij,...j->...i", R, s.v_body[..., 0:3])
     obs = mpc_mod.Observation(
@@ -75,6 +90,7 @@ def controller_tick(
     swing_cfg: SwingConfig = SwingConfig(),
     use_wbc: bool = True,
     wbc_backend: str = "xla",
+    kin_backend: str = "xla",
 ):
     """The CONTROLLER side of one 500 Hz tick: estimate -> (MPC every
     13th tick) -> swing targets -> WBC -> joint torques.
@@ -88,19 +104,40 @@ def controller_tick(
     Returns (ctrl', tau (..., 4, 3), model_terms) where model_terms =
     (A, Ainv, grav, cori, info) is the tick's one shared model
     evaluation (also consumed by the plant substep cache)."""
-    obs, R, info = observe_plant(plant, mc)
-
     # ONE model evaluation per tick, shared three ways: the WBC's
     # dynamics (A, A^{-1}, gravity, Coriolis, contact J), the
     # plant's substep cache (A^{-1}, G, C — articulated_sim.
-    # model_cache contract), and the observation's foot kinematics
-    # (info, already computed above)
-    from quad_periodic_mpc_tpu.ops import linalg as _lin
+    # model_cache contract), and the observation's foot kinematics.
+    # kin_backend="pallas" runs the WHOLE evaluation (CRBA + rotors +
+    # gravity + Coriolis + 18x18 inverse + contact kinematics) as ONE
+    # fused kernel (ops/pallas/kinematics_kernel.fused_model_eval) —
+    # at b=1 the XLA spatial-algebra chains are the composed tick's
+    # largest op-dispatch cost (tools/probe_b1_split.py).
+    if kin_backend == "pallas":
+        import jax as _jax
 
-    A_t = fb.mass_matrix(plant.fb, mc)
-    Ainv_t = _lin.spd_inverse(A_t)
-    G_t = fb.generalized_gravity(plant.fb, mc)
-    C_t = fb.generalized_coriolis(plant.fb, mc)
+        from quad_periodic_mpc_tpu.ops.pallas import kinematics_kernel
+
+        A_t, Ainv_t, G_t, C_t, info = kinematics_kernel.fused_model_eval(
+            plant.fb, mc, interpret=_jax.default_backend() == "cpu"
+        )
+        s = plant.fb
+        R = quat_to_rotmat(s.quat)
+        v_world = jnp.einsum("...ij,...j->...i", R, s.v_body[..., 3:6])
+        omega_world = jnp.einsum("...ij,...j->...i", R, s.v_body[..., 0:3])
+        obs = mpc_mod.Observation(
+            p=s.pos, v=v_world, quat=s.quat, omega=omega_world,
+            p_feet=info.p_foot,
+        )
+    else:
+        obs, R, info = observe_plant(plant, mc)
+
+        from quad_periodic_mpc_tpu.ops import linalg as _lin
+
+        A_t = fb.mass_matrix(plant.fb, mc)
+        Ainv_t = _lin.spd_inverse(A_t)
+        G_t = fb.generalized_gravity(plant.fb, mc)
+        C_t = fb.generalized_coriolis(plant.fb, mc)
 
     ctrl = mpc_mod.setup_command(ctrl, cmd, loop_cfg)
     if do_mpc:
@@ -212,6 +249,7 @@ def rollout_articulated(
     substeps: int = 10,
     use_wbc: bool = True,
     wbc_backend: str = "xla",
+    kin_backend: str = "xla",
 ) -> tuple[FullStackCarry, dict]:
     """Run n_mpc_steps MPC periods of the full torque-level stack."""
     sub_dt = loop_cfg.dt / substeps
@@ -223,7 +261,7 @@ def rollout_articulated(
             mpc_cfg=mpc_cfg, loop_cfg=loop_cfg, est_cfg=est_cfg,
             solver=solver, wbc_gains=wbc_gains, wbc_pdip=wbc_pdip,
             model=model, swing_cfg=swing_cfg, use_wbc=use_wbc,
-            wbc_backend=wbc_backend,
+            wbc_backend=wbc_backend, kin_backend=kin_backend,
         )
 
         # plant substeps reuse the tick's model terms (art.model_cache

@@ -93,6 +93,10 @@ class ModelConstants(NamedTuple):
     gc_body: tuple                 # foot contact parent body per leg (4)
     gc_location: jnp.ndarray       # (4, 3)
     gravity: jnp.ndarray           # (3,)
+    # python-float mirrors for STATIC kernel parameters (pallas fused
+    # model kernel takes them as compile-time constants)
+    gear_static: tuple = ()
+    gravity_static: tuple = ()
 
 
 def _leg_sign_vec(v, leg):
@@ -221,6 +225,8 @@ def build_a1_constants(dtype_str: str = "float32") -> ModelConstants:
         gc_body=tuple(gc_body),
         gc_location=jnp.asarray(gc_loc, dtype),
         gravity=jnp.asarray(p.gravity, dtype),
+        gear_static=tuple(float(g) for g in gear),
+        gravity_static=tuple(float(g) for g in p.gravity),
     )
 
 

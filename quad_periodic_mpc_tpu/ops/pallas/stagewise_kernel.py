@@ -818,11 +818,11 @@ def _kernel_stream(
     U_io,         # (h, NU, C)  in/out (seeded with warm start)
     z_io,         # (h, NC, C)  in/out
     y_io,         # (h, NC, C)  in/out
+    K_hbm,        # (nblk, SB, NU, NX, C)  HBM-resident output (gain spill)
+    M_hbm,        # (nblk, SB, NPACK, C)   HBM-resident output
     Pc_scr,       # (h, NX, C)
     P_scr,        # (NX, NX, C)
     p_scr,        # (h, NX, C)
-    K_hbm,        # (nblk, SB, NU, NX, C)  HBM
-    M_hbm,        # (nblk, SB, NPACK, C)   HBM
     Kbuf,         # (NBUF, SB, NU, NX, C)  VMEM
     Mbuf,         # (NBUF, SB, NPACK, C)   VMEM
     sem_kw, sem_mw, sem_kr, sem_mr,        # DMA sems (NBUF,) each
@@ -1092,12 +1092,13 @@ def fused_stagewise_solve_stream(
         _kernel_stream, h=h, iters=iters, rho=float(rho),
         over_relax=float(over_relax), ns_it=ns_it,
     )
+    # Mosaic restricts scratch allocation to VMEM/SMEM/semaphores, so
+    # the HBM gain-spill buffers ride as HBM-memory-space OUTPUTS (the
+    # kernel DMAs into/out of them and the caller discards them)
     scratch = [
         pltpu.VMEM((h, NX, C), f32),               # Pc
         pltpu.VMEM((NX, NX, C), f32),              # P carry
         pltpu.VMEM((h, NX, C), f32),               # p costate
-        pltpu.HBM((nblk, _SB, NU, NX, C), f32),    # K (streamed)
-        pltpu.HBM((nblk, _SB, NPACK, C), f32),     # Minv packed (streamed)
         pltpu.VMEM((_NBUF, _SB, NU, NX, C), f32),  # K double buffer
         pltpu.VMEM((_NBUF, _SB, NPACK, C), f32),   # Minv double buffer
         pltpu.SemaphoreType.DMA((_NBUF,)),
@@ -1106,14 +1107,17 @@ def fused_stagewise_solve_stream(
         pltpu.SemaphoreType.DMA((_NBUF,)),
     ]
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    hbm = pl.BlockSpec(memory_space=pltpu.HBM)
     call = pl.pallas_call(
         kernel,
         in_specs=[vmem] * 13,
-        out_specs=[vmem] * 3,
+        out_specs=[vmem, vmem, vmem, hbm, hbm],
         out_shape=[
             jax.ShapeDtypeStruct((h, NU, C), f32),
             jax.ShapeDtypeStruct((h, NC, C), f32),
             jax.ShapeDtypeStruct((h, NC, C), f32),
+            jax.ShapeDtypeStruct((nblk, _SB, NU, NX, C), f32),
+            jax.ShapeDtypeStruct((nblk, _SB, NPACK, C), f32),
         ],
         # warm-start carries ARE the outputs: alias to skip both the
         # seed copy and 3 x (h, NC, C) of VMEM
@@ -1121,7 +1125,7 @@ def fused_stagewise_solve_stream(
         scratch_shapes=scratch,
         interpret=interpret,
     )
-    U_o, z_o, y_o = jax.lax.map(
+    U_o, z_o, y_o, _, _ = jax.lax.map(
         lambda t: call(*t, Qm, R_eff.astype(f32), A20),
         (Ad_t, Bd_t, c_t, x0_t, xref_t, l_t, u_t, U_t, z_t, y_t),
     )
