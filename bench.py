@@ -664,12 +664,10 @@ def main() -> None:
 
     # ---- reference-default operating point: h=16 (ros_config.yaml:93,
     # ConvexMPCLocomotion.cpp:14), same plant-stepped methodology ----
-    # Round 4 moves this line to the STAGEWISE formulation on the fused
-    # pallas kernel (ops/pallas/stagewise_kernel.py): sequential
-    # in-VMEM Riccati + resident-gain ADMM runs the h=16 walking step in
-    # 9.1 ms at batch 1024 (112k solves/s, primal 3.8e-4 at ADMM-40) vs
-    # 44 ms for the round-3 condensed ADMM-40 recipe (kept available
-    # via --h16-condensed) and 34.6 ms for the XLA stagewise path.
+    # The h=16 line runs the STAGEWISE formulation on the fused pallas
+    # kernel (ops/pallas/stagewise_kernel.py); the round-3 condensed
+    # ADMM-40 recipe stays available via --h16-condensed.  Published
+    # value + spread live in the bench JSON (h16_solves_per_s*).
     if not args.no_h16:
         if args.solver != "admm":
             h16_solver = solver
