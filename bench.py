@@ -104,13 +104,11 @@ def main() -> None:
     # so both variants carry gates.
     ap.add_argument("--backend", choices=["xla", "pallas"], default="pallas",
                     help="ADMM iteration-loop backend for the headline")
-    # round 4: the headline moves to the fused stagewise Riccati-ADMM
-    # kernel (ops/pallas/stagewise_kernel.py) — sequential in-VMEM
-    # factorize + resident-gain iterations, 8.9 ms/step at batch 2048
-    # (229k solves/s, primal 1.8e-3) vs 13.3 ms for the condensed
-    # pallas path it replaces.  The condensed path remains a measured
-    # secondary line (condensed_* fields) — it is the b=1 latency
-    # choice and the reference-shaped formulation.
+    # The headline runs the fused stagewise Riccati-ADMM kernel
+    # (ops/pallas/stagewise_kernel.py) — sequential in-VMEM factorize
+    # + resident-gain iterations.  The condensed path remains a
+    # measured secondary line (condensed_* fields) as the
+    # reference-shaped formulation.
     ap.add_argument("--formulation", choices=["stagewise", "condensed"],
                     default="stagewise",
                     help="headline QP formulation")
@@ -486,10 +484,9 @@ def main() -> None:
         try:
             K = 64
             # b=1 runs the stagewise fused kernel when it is the
-            # headline formulation: one 128-lane chunk per step measures
-            # p99 ~0.5 ms — better than the condensed xla loop's
-            # 0.66-1.07 (the kernel pays its lane padding once, the xla
-            # loop pays ~30 small dispatches per step inside the scan)
+            # headline formulation: one 128-lane chunk per step (the
+            # kernel pays its lane padding once; the xla loop pays ~30
+            # small dispatches per step inside the scan)
             b1_form = args.formulation if args.solver == "admm" else "condensed"
             ctrl, plant, cmd, gait, dist = make_inputs(
                 1, formulation=b1_form
