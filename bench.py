@@ -540,6 +540,7 @@ def main() -> None:
     def walking_line(
         label: str, field: str, horizon: int, batch: int, solver_cfg,
         n_per_loop: int, kkt_prefix: str | None = None, warmup: int = 6,
+        n_loops: int = 3,
     ):
         try:
             cfg_h = MPCConfig(horizon=horizon)
@@ -552,7 +553,7 @@ def main() -> None:
                 ctrl, plant, f = jit_step(ctrl, plant, cmd, gait, dist)
             float(jnp.sum(f))
             loops = []
-            for _ in range(3):
+            for _ in range(n_loops):
                 t0 = time.perf_counter()
                 for _ in range(n_per_loop):
                     ctrl, plant, f = jit_step(ctrl, plant, cmd, gait, dist)
@@ -631,6 +632,36 @@ def main() -> None:
             n_per_loop=args.iters, kkt_prefix="condensed",
         )
 
+    # ---- reference-default operating point: h=16 (ros_config.yaml:93,
+    # ConvexMPCLocomotion.cpp:14), same plant-stepped methodology.
+    # Runs BEFORE the long-horizon phases: a cold-process full run
+    # measured the h=16 loops collapsing to 14-90k when scheduled after
+    # the h=64/h=128 phases (allocator/relay churn) while the isolated
+    # cold run reads a tight ~122k — phase ORDER was the round-4
+    # "h=16 swing" (4 loops published with spread either way). ----
+    # The h=16 line runs the STAGEWISE formulation on the fused pallas
+    # kernel (ops/pallas/stagewise_kernel.py); the round-3 condensed
+    # ADMM-40 recipe stays available via --h16-condensed.  Published
+    # value + spread live in the bench JSON (h16_solves_per_s*).
+    if not args.no_h16:
+        if args.solver != "admm":
+            h16_solver = solver
+        elif args.h16_condensed:
+            h16_solver = ADMMConfig(
+                iterations=40, ns_cold_iters=14,
+                ns_bucket_precision="default", ns_polish=1,
+            )
+        else:
+            h16_solver = ADMMConfig(
+                iterations=40, formulation="stagewise", backend="pallas"
+            )
+        walking_line(
+            "h=16 end-to-end", "h16_solves_per_s",
+            horizon=16, batch=1024, solver_cfg=h16_solver,
+            n_per_loop=max(args.iters // 2, 5), kkt_prefix="h16",
+            n_loops=4,
+        )
+
     if not args.no_longhorizon:
         # iterations=50: at the long horizons the warm carry covers a
         # smaller fraction of the constraint set — ADMM-30 measured
@@ -657,30 +688,6 @@ def main() -> None:
             horizon=128, batch=128, solver_cfg=lh_solver,
             n_per_loop=max(args.iters // 4, 5), kkt_prefix="h128",
             warmup=4,
-        )
-
-    # ---- reference-default operating point: h=16 (ros_config.yaml:93,
-    # ConvexMPCLocomotion.cpp:14), same plant-stepped methodology ----
-    # The h=16 line runs the STAGEWISE formulation on the fused pallas
-    # kernel (ops/pallas/stagewise_kernel.py); the round-3 condensed
-    # ADMM-40 recipe stays available via --h16-condensed.  Published
-    # value + spread live in the bench JSON (h16_solves_per_s*).
-    if not args.no_h16:
-        if args.solver != "admm":
-            h16_solver = solver
-        elif args.h16_condensed:
-            h16_solver = ADMMConfig(
-                iterations=40, ns_cold_iters=14,
-                ns_bucket_precision="default", ns_polish=1,
-            )
-        else:
-            h16_solver = ADMMConfig(
-                iterations=40, formulation="stagewise", backend="pallas"
-            )
-        walking_line(
-            "h=16 end-to-end", "h16_solves_per_s",
-            horizon=16, batch=1024, solver_cfg=h16_solver,
-            n_per_loop=max(args.iters // 2, 5), kkt_prefix="h16",
         )
 
     # ---- accuracy-gated bf16-K^{-1} pallas variant at the headline
