@@ -214,6 +214,30 @@ def main() -> None:
     fence(kf_tick_pl, "KF update (fused pallas kernel)",
           kf_state, a_world, R_body, omega_b, p_rel, v_rel, phase)
 
+    # per-tick model evaluation (CRBA + gravity + Coriolis + 18x18
+    # inverse + contact kinematics): XLA chain vs the fused kernel
+    from quad_periodic_mpc_tpu.ops import linalg as _lin2
+    from quad_periodic_mpc_tpu.ops.pallas import kinematics_kernel as _kk
+
+    mb = min(B, 256)
+    mplant = art.init_on_ground((mb,), penetration=3.8e-3, dtype=dtype)
+    mc2 = fb.build_a1_constants("float32")
+
+    def model_xla(s):
+        A = fb.mass_matrix(s, mc2)
+        return (A, _lin2.spd_inverse(A), fb.generalized_gravity(s, mc2),
+                fb.generalized_coriolis(s, mc2),
+                fb.contact_jacobians(s, mc2).Jc)
+
+    fence(model_xla, f"model eval XLA (CRBA+G+C+inv+Jc, b={mb})",
+          mplant.fb)
+
+    def model_pl(s):
+        A, Ainv, G, Cq, info = _kk.fused_model_eval(s, mc2)
+        return (A, Ainv, G, Cq, info.Jc)
+
+    fence(model_pl, f"model eval fused kernel (b={mb})", mplant.fb)
+
     wb = min(B, 256)  # WBC runs at the torque tier's batch
     mc = fb.build_a1_constants("float32")
     aplant = art.init_on_ground((wb,), penetration=3.8e-3, dtype=dtype)
