@@ -922,24 +922,16 @@ def main() -> None:
             def plant_chain(plant):
                 from quad_periodic_mpc_tpu.ops.pallas import (
                     kinematics_kernel as _kk,
+                    plant_kernel as _pk,
                 )
 
                 def tick(p, _):
                     _, Ainv_p, G_p, C_p, info = _kk.fused_model_eval(
                         p.fb, MC
                     )
-                    cache = (Ainv_p, G_p, C_p)
-
-                    def sub(c, _):
-                        pp, pf = c
-                        pp2, pf2, _ = art.step_fast(
-                            pp, tau0, loop_cfg.dt / 10.0, cparams,
-                            cache, info.Jc, pf,
-                        )
-                        return (pp2, pf2), None
-
-                    (p2, _), _ = jax.lax.scan(
-                        sub, (p, info.p_foot), None, length=10
+                    p2, _ = _pk.fused_substeps(
+                        p, tau0, loop_cfg.dt / 10.0, cparams,
+                        (Ainv_p, G_p, C_p), info.Jc, info.p_foot, 10,
                     )
                     return p2, None
 

@@ -267,19 +267,32 @@ def rollout_articulated(
         # plant substeps reuse the tick's model terms (art.model_cache
         # contract: inertia on the 2 ms scale) AND the tick's contact
         # kinematics (step_fast: frozen Jc + integrated foot positions —
-        # the FK chain is the dominant substep cost; round 5)
+        # the FK chain is the dominant substep cost; round 5).  The
+        # fused-tick configuration (kin_backend="pallas") runs ALL
+        # `substeps` in one kernel dispatch (ops/pallas/plant_kernel).
         cache = (Ainv_t, G_t, C_t)
 
-        def sub(c, _):
-            p, pf = c
-            p2, pf2, _ = art.step_fast(
-                p, tau, sub_dt, contact, cache, info.Jc, pf
-            )
-            return (p2, pf2), None
+        if kin_backend == "pallas":
+            import jax as _jax
 
-        (plant, _), _ = jax.lax.scan(
-            sub, (plant, info.p_foot), None, length=substeps
-        )
+            from quad_periodic_mpc_tpu.ops.pallas import plant_kernel
+
+            plant, _ = plant_kernel.fused_substeps(
+                plant, tau, sub_dt, contact, cache, info.Jc,
+                info.p_foot, substeps,
+                interpret=_jax.default_backend() == "cpu",
+            )
+        else:
+            def sub(c, _):
+                p, pf = c
+                p2, pf2, _ = art.step_fast(
+                    p, tau, sub_dt, contact, cache, info.Jc, pf
+                )
+                return (p2, pf2), None
+
+            (plant, _), _ = jax.lax.scan(
+                sub, (plant, info.p_foot), None, length=substeps
+            )
         return FullStackCarry(plant, ctrl)
 
     def mpc_period(carry, _):
