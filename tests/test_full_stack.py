@@ -66,3 +66,60 @@ def test_full_stack_trot_walks():
     assert abs(float(carry.plant.fb.quat[0])) > 0.99
     # forward speed in the right range during steady trot
     assert 0.05 < vb[15:, 3].mean() < 0.3
+
+
+def test_fused_tick_configuration_matches_xla():
+    """The production fused-tick configuration (model-eval + WBC +
+    plant-substep kernels, kin_backend/wbc_backend='pallas') must track
+    the XLA tick through a full MPC period."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from quad_periodic_mpc_tpu.config import ADMMConfig, MPCConfig
+    from quad_periodic_mpc_tpu.control import full_stack as FS
+    from quad_periodic_mpc_tpu.control import mpc as M
+    from quad_periodic_mpc_tpu.models import floating_base as fb
+    from quad_periodic_mpc_tpu.ops import gait as G
+    from quad_periodic_mpc_tpu.sim import articulated_sim as art
+
+    dtype = jnp.float32
+    B = 2
+    MC = fb.build_a1_constants("float32")
+    P = fb.A1ModelParams()
+    m_tot = P.body_mass + 4 * (
+        P.abad_mass + P.hip_mass + P.knee_mass + 3 * P.rotor_mass
+    )
+    cfg = MPCConfig(horizon=10, mass=float(m_tot),
+                    inertia_body=(0.12, 0.45, 0.42))
+    solver = ADMMConfig(iterations=30)
+    plant = art.init_on_ground((B,), penetration=3.8e-3, dtype=dtype)
+    obs0, _, _ = FS.observe_plant(plant, MC)
+    ctrl = M.init_state((B,), obs0, dtype=dtype)
+    cmd = M.Command(
+        vx=jnp.full((B,), 0.15, dtype), vy=jnp.zeros((B,), dtype),
+        yaw_rate=jnp.zeros((B,), dtype), body_height=plant.fb.pos[..., 2],
+    )
+    gait = G.preset("trotting")
+
+    def run(kin, wbc):
+        carry, _ = FS.rollout_articulated(
+            1, plant, ctrl, cmd, gait, MC, mpc_cfg=cfg, solver=solver,
+            use_wbc=True, substeps=5, wbc_backend=wbc, kin_backend=kin,
+        )
+        return carry.plant.fb
+
+    fb_x = jax.jit(lambda: run("xla", "xla"))()
+    fb_p = jax.jit(lambda: run("pallas", "pallas"))()
+    # one MPC period (13 ticks, 65 substeps) of three exact-f32 kernels
+    # vs the XLA composition: trajectories stay within integrator-scale
+    # tolerance
+    np.testing.assert_allclose(
+        np.asarray(fb_p.pos), np.asarray(fb_x.pos), atol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(fb_p.v_body), np.asarray(fb_x.v_body), atol=2e-2
+    )
+    np.testing.assert_allclose(
+        np.asarray(fb_p.q), np.asarray(fb_x.q), atol=5e-3
+    )
