@@ -1,4 +1,4 @@
-"""Command-line interface: rollout / sweep / parity / bench.
+"""Command-line interface: rollout / sweep / parity / live / bench.
 
 The rebuild's operational surface (the reference drives everything
 through roslaunch + rqt_reconfigure; here: one typed CLI).
@@ -6,6 +6,8 @@ through roslaunch + rqt_reconfigure; here: one typed CLI).
   python -m quad_periodic_mpc_tpu rollout --steps 200 --gait trotting
   python -m quad_periodic_mpc_tpu sweep --mpc-steps 100
   python -m quad_periodic_mpc_tpu parity --horizon 10
+  python -m quad_periodic_mpc_tpu live --tune-file /tmp/tune.json \\
+      --telemetry-udp 127.0.0.1:9870      (dynamic_reconfigure analog)
   python -m quad_periodic_mpc_tpu bench ...   (same flags as bench.py)
 """
 
@@ -13,6 +15,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import sys
 
 
 def cmd_rollout(args) -> None:
@@ -146,6 +149,117 @@ def cmd_sweep(args) -> None:
     }, indent=2))
 
 
+def cmd_live(args) -> None:
+    """Live-retunable chunked rollout with telemetry streaming.
+
+    The dynamic_reconfigure + PlotJuggler operator surface
+    (ros_dynamic_params.cfg via be2r_cmpc_unitree.cpp:733-739;
+    config/plotjuggler/): the rollout runs in chunks of --chunk MPC
+    periods per device dispatch; between dispatches the tune file is
+    polled and any changed TunableParams values take effect on the next
+    chunk WITHOUT recompiling (traced pytree tier, tests/test_tunable.py).
+    Telemetry goes to stdout as JSONL and optionally to PlotJuggler as
+    JSON-over-UDP (--telemetry-udp host:port, "UDP Server" source).
+
+    Retune example while it runs:
+        echo '{"alpha": 2e-5, "swing_height": 0.12}' > /tmp/tune.json
+    """
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from quad_periodic_mpc_tpu.config import (
+        ADMMConfig, EstimatorConfig, LoopConfig, MPCConfig, SwingConfig,
+        TunableParams,
+    )
+    from quad_periodic_mpc_tpu.control import loop as L
+    from quad_periodic_mpc_tpu.control import mpc as M
+    from quad_periodic_mpc_tpu.ops import gait as G
+    from quad_periodic_mpc_tpu.sim import srb_sim as S
+    from quad_periodic_mpc_tpu.utils import live_tune as LT
+
+    dtype = jnp.float32
+    mpc_cfg = MPCConfig(horizon=args.horizon)
+    loop_cfg = LoopConfig()
+    est_cfg = EstimatorConfig()
+    solver = ADMMConfig(
+        iterations=args.solver_iters, backend=args.backend,
+        formulation=args.formulation,
+    )
+    plant = S.init_plant((), body_height=0.29, dtype=dtype)
+    obs = S.observe(plant)
+    ctrl = M.init_state(
+        (), obs, dtype=dtype, horizon=args.horizon,
+        formulation=solver.formulation,
+    )
+    cmd = M.Command(
+        vx=jnp.asarray(args.vx, dtype), vy=jnp.asarray(0.0, dtype),
+        yaw_rate=jnp.asarray(0.0, dtype),
+        body_height=jnp.asarray(0.29, dtype),
+    )
+    gait = G.preset(args.gait)
+    dist = (
+        S.DisturbanceParams.reference((), dtype) if args.disturbance
+        else S.DisturbanceParams.zero((), dtype)
+    )
+    tunable = TunableParams.from_config(
+        mpc_cfg, loop_cfg, est_cfg, SwingConfig(), dtype=dtype
+    )
+    tuner = LT.FileTuner(args.tune_file, tunable, dtype=dtype)
+    udp = None
+    if args.telemetry_udp:
+        udp = LT.UdpTelemetry(*LT.parse_hostport(args.telemetry_udp))
+
+    chunk = args.chunk
+
+    @jax.jit
+    def run_chunk(plant, ctrl, tunable):
+        return L.rollout(
+            chunk, plant, ctrl, cmd, gait, dist, mpc_cfg, loop_cfg,
+            est_cfg, solver, tunable=tunable,
+        )
+
+    carry = L.RolloutCarry(plant, ctrl)
+    tune_seq = 0
+    done = 0
+    while done < args.steps:
+        new = tuner.poll()
+        if new is not None:
+            tunable = new
+            tune_seq += 1
+            if tuner.unknown_keys:
+                print(json.dumps({"warn": "unknown tune keys",
+                                  "keys": tuner.unknown_keys}),
+                      file=sys.stderr, flush=True)
+        t0 = _time.perf_counter()
+        carry, tr = run_chunk(carry.plant, carry.ctrl, tunable)
+        x = np.asarray(tr.x)
+        wall = _time.perf_counter() - t0
+        done += chunk
+        sample = {
+            "t_sim": float(np.asarray(carry.plant.t)),
+            "mpc_steps": done,
+            "vx": float(x[-1, 9]),
+            "vx_mean_chunk": float(x[:, 9].mean()),
+            "height": float(x[-1, 5]),
+            "roll": float(x[-1, 0]),
+            "pitch": float(x[-1, 1]),
+            "est_freq": float(np.asarray(carry.ctrl.est.est_freq)),
+            "est_amp": float(np.asarray(carry.ctrl.est.est_amp)),
+            "alpha": float(np.asarray(tunable.alpha)),
+            "swing_height": float(np.asarray(tunable.swing_height)),
+            "tune_seq": tune_seq,
+            "chunk_wall_ms": round(wall * 1e3, 2),
+        }
+        print(json.dumps(sample), flush=True)
+        if udp is not None:
+            udp.send(sample)
+    if udp is not None:
+        udp.close()
+
+
 def cmd_parity(args) -> None:
     """Cross-solver parity report on a standard problem set."""
     import numpy as np
@@ -222,6 +336,33 @@ def main(argv=None) -> None:
                    default="condensed")
     s.add_argument("--backend", choices=["xla", "pallas"], default="xla")
     s.set_defaults(fn=cmd_sweep)
+
+    lv = sub.add_parser(
+        "live",
+        help="live-retunable rollout with telemetry streaming "
+             "(dynamic_reconfigure + PlotJuggler analog)",
+    )
+    lv.add_argument("--steps", type=int, default=400,
+                    help="total MPC periods to run")
+    lv.add_argument("--chunk", type=int, default=10,
+                    help="MPC periods per device dispatch (tune-poll "
+                         "granularity)")
+    lv.add_argument("--gait", default="trotting")
+    lv.add_argument("--vx", type=float, default=0.3)
+    lv.add_argument("--horizon", type=int, default=10)
+    lv.add_argument("--disturbance", action="store_true")
+    lv.add_argument("--solver-iters", type=int, default=30)
+    lv.add_argument("--formulation", choices=["condensed", "stagewise"],
+                    default="stagewise")
+    lv.add_argument("--backend", choices=["xla", "pallas"],
+                    default="pallas")
+    lv.add_argument("--tune-file", default="/tmp/qpm_tune.json",
+                    help="JSON file of TunableParams overrides, polled "
+                         "each chunk; writing it IS the reconfigure call")
+    lv.add_argument("--telemetry-udp", default="",
+                    help="host:port for PlotJuggler JSON-over-UDP "
+                         "streaming (UDP Server source)")
+    lv.set_defaults(fn=cmd_live)
 
     p = sub.add_parser("parity", help="cross-solver parity report")
     p.add_argument("--horizon", type=int, default=10)

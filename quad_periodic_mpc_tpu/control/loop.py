@@ -160,6 +160,7 @@ def rollout(
     heightmap=None,
     ground_fn=None,
     terrain_cfg: TerrainLoopConfig = TerrainLoopConfig(),
+    tunable=None,
 ) -> tuple[RolloutCarry, RolloutTrace]:
     """Run n_mpc_steps MPC periods (each = iterations_between_mpc ticks).
 
@@ -176,6 +177,11 @@ def rollout(
     (xy -> z) gives the plant the true surface so terrain-blind swing
     targets strike risers early.  Both batch: a (B, H, W) heightmap runs
     B terrain scenarios in lockstep (the sweep's terrain axis).
+
+    tunable: optional TunableParams pytree threaded to mpc_step /
+    swing_update — a TRACED argument, so re-invoking a jitted rollout
+    chunk with new values retunes live without recompiling (the
+    dynamic_reconfigure tier; see utils/live_tune.py + `cli live`).
     """
     if heightmap is not None:
         from quad_periodic_mpc_tpu.control import cmpc_variant as cv
@@ -217,11 +223,11 @@ def rollout(
         if do_mpc:
             ctrl, _ = mpc_ctrl.mpc_step(
                 ctrl, obs, cmd_t, gait, plant.t, mpc_cfg, loop_cfg, est_cfg,
-                solver,
+                solver, tunable=tunable,
             )
         ctrl, out = mpc_ctrl.swing_update(
             ctrl, obs, cmd_t, gait, model, swing_cfg, mpc_cfg, loop_cfg,
-            loop_cfg.swing_height,
+            loop_cfg.swing_height, tunable=tunable,
             foothold_adjust=_foothold_adjust,
         )
         stance = (out.swing_state <= 0).astype(plant.x.dtype)

@@ -75,6 +75,138 @@ def _t(a, r, c):
 _SYM_IDX = [(i, j) for i in range(NU) for j in range(i, NU)]   # 78 pairs
 NPACK = len(_SYM_IDX)
 
+# Sparsity of N = Ad - I for the nilpotent SRB ZOH (models/srb.py
+# ct_dynamics + discretize.nilpotent_zoh, and _srb_assemble below):
+# A_ct rows {0:3} <- cols {6:9} (R^T), rows {3:6} <- cols {9:12},
+# row 11 <- cols {9 (x_drag), 12 (gravity)}; A^2 touches only row 5
+# (cols 9, 12); A^3 = 0.  So Ad = I + N with N supported on exactly
+# these rows/columns — every Ad contraction can skip the identity part
+# and contract only the 7 live rows (or columns).  Bd row 12 is
+# exactly zero (gravity state takes no input), so NX-contractions
+# against Bd/BdT drop their k = 12 term.
+_N_ROWS = (0, 1, 2, 3, 4, 5, 11)   # nonzero rows of N (= cols of N^T)
+_N_COLS = (6, 7, 8, 9, 10, 11, 12)  # nonzero cols of N
+
+
+def _ad_ops(Ad, AdT, srb_ad):
+    """Ad contraction helpers for the solve kernels.
+
+    srb_ad=True exploits Ad = I + N (sparsity above): each product is
+    the identity pass-through plus 7 live-row FMAs instead of 13 dense
+    ones, and `nbd` = NU lets NX-contractions against Bd/BdT skip the
+    structurally-zero k = 12 term.  Exact, not approximate.  Returns
+    (mv_A, mv_AT, mm_r_A, mm_l_AT, nbd)."""
+    f32 = jnp.float32
+    if not srb_ad:
+        return (
+            lambda x: _mv(Ad, x, NX),
+            lambda v: _mv(AdT, v, NX),
+            lambda X: _mm(X, Ad, NX),
+            lambda P: _mm(AdT, P, NX),
+            NX,
+        )
+    rid = jax.lax.broadcasted_iota(jnp.int32, (NX, 1), 0)
+    Nrow = {k: Ad[k] - jnp.where(rid == k, 1.0, 0.0).astype(f32)
+            for k in _N_ROWS}
+    Ncol = {k: Ad[:, k, :] - jnp.where(rid == k, 1.0, 0.0).astype(f32)
+            for k in _N_COLS}
+
+    def mv_A(x):                                    # Ad @ x
+        acc = x
+        for k in _N_COLS:
+            acc = acc + Ncol[k] * x[k][None, :]
+        return acc
+
+    def mv_AT(v):                                   # Ad^T @ v
+        acc = v
+        for k in _N_ROWS:
+            acc = acc + Nrow[k] * v[k][None, :]
+        return acc
+
+    def mm_r_A(X):                                  # X @ Ad, X (r, NX, C)
+        acc = X
+        for k in _N_ROWS:
+            acc = acc + X[:, k, :][:, None, :] * Nrow[k][None, :, :]
+        return acc
+
+    def mm_l_AT(P):                                 # Ad^T @ P, P (NX, s, C)
+        acc = P
+        for k in _N_ROWS:
+            acc = acc + Nrow[k][:, None, :] * P[k][None, :, :]
+        return acc
+
+    return mv_A, mv_AT, mm_r_A, mm_l_AT, NU
+
+
+def _stage_quu_inverse(Quu, X_prev, first, eyeu, C, ns_it, ns_warm):
+    """Per-stage Quu^{-1} by Newton-Schulz, shared by the VMEM-resident
+    and gains-streaming kernels.
+
+    first stage: cold scalar seed I/||Quu||_inf, full ns_it rounds.
+    Later stages: seed from the previous stage's inverse (Quu varies by
+    one Riccati step along the horizon, so Xp is near-contractive);
+    jumped lanes get the spectral alpha-rescale
+    (linalg.ns_inverse_bucket argument: M = Xp Quu has real positive
+    spectrum <= 1 + r, alpha = 1.8/(1+r) contracts).  ns_warm rounds
+    are sized for the TYPICAL one-step drift (quadratic convergence in
+    4-5 rounds); the post-loop residual gate — threshold 2e-3, the
+    worst residual the old 10-round blind loop accepted from an
+    alpha-rescaled 0.9 start — catches slow lanes (early stages where
+    P jumps from the terminal cost, genuinely ill-conditioned Quu, or
+    non-finites) and reruns those stages from the cold scalar seed
+    (ADVICE r4 rescue, mirroring linalg.ns_inverse_bucket).  The
+    lax.cond on the per-chunk ANY keeps the rescue free on the healthy
+    path."""
+    def ns_round(_, X):
+        MX = _mm(Quu, X, NU)
+        return _mm(X, 2.0 * eyeu - MX, NU)
+
+    def cold_seed():
+        absQ = jnp.abs(Quu)
+        row = absQ[:, 0, :]
+        for j in range(1, NU):
+            row = row + absQ[:, j, :]
+        norm = row[0]
+        for i in range(1, NU):
+            norm = jnp.maximum(norm, row[i])        # (C,)
+        return jnp.broadcast_to(eyeu, (NU, NU, C)) / norm[None, None, :]
+
+    def cold(Xp):
+        return jax.lax.fori_loop(0, ns_it, ns_round, cold_seed())
+
+    def warm(Xp):
+        M = _mm(Xp, Quu, NU)
+        E = jnp.abs(eyeu - M)
+        row = E[:, 0, :]
+        for j in range(1, NU):
+            row = row + E[:, j, :]
+        r = row[0]
+        for i in range(1, NU):
+            r = jnp.maximum(r, row[i])              # (C,)
+        alpha = jnp.where(r < 0.9, 1.0, 1.8 / (1.0 + r))
+        # round 1 reuses the seed product: X1 = a Xp (2I - a M)
+        X = _mm(alpha[None, None, :] * Xp,
+                2.0 * eyeu - alpha[None, None, :] * M, NU)
+        X = jax.lax.fori_loop(0, ns_warm - 1, ns_round, X)
+        QX = _mm(Quu, X, NU)
+        Eabs = jnp.abs(eyeu - QX)
+        rrow = Eabs[:, 0, :]
+        for j in range(1, NU):
+            rrow = rrow + Eabs[:, j, :]
+        err = rrow[0]
+        for i in range(1, NU):
+            err = jnp.maximum(err, rrow[i])         # (C,)
+        bad = jnp.logical_not(err < 2e-3)           # catches NaN too
+
+        def rescue(Xb):
+            Xb = jnp.where(bad[None, None, :], cold_seed(), Xb)
+            Xb = jnp.where(jnp.isfinite(Xb), Xb, 0.0)
+            return jax.lax.fori_loop(0, ns_it, ns_round, Xb)
+
+        return jax.lax.cond(jnp.any(bad), rescue, lambda x: x, X)
+
+    return jax.lax.cond(first, cold, warm, X_prev)
+
 
 def _pack_sym(M):
     """(NU, NU, C) symmetric -> (NPACK, C)."""
@@ -105,6 +237,8 @@ def _solve_body(
     over_relax: float,
     ns_it: int,
     lean: bool = False,
+    srb_ad: bool = True,
+    ns_warm: int | None = None,
 ):
     # lean mode (long horizons, h > 40): Quu^{-1} stored PACKED
     # symmetric (78 rows instead of a 12x16-sublane-padded block) and
@@ -126,6 +260,10 @@ def _solve_body(
     A20 = A20_ref[:]                                # (NC, NU)
     hp = jax.lax.Precision.HIGHEST
 
+    # Structured Ad contractions (srb_ad): ~25% of the Riccati matmul
+    # elements and 2 of the 4 sweep matvecs per iteration stage.
+    mv_A, mv_AT, mm_r_A, mm_l_AT, nbd = _ad_ops(Ad, AdT, srb_ad)
+
     # ---- factorize: sequential backward Riccati ----
     # terminal P_h = Qm
     P_scr[:] = jnp.broadcast_to(Qm, (NX, NX, C)).astype(f32)
@@ -133,92 +271,35 @@ def _solve_body(
     eyeu = jax.lax.broadcasted_iota(jnp.int32, (NU, NU), 0) == \
         jax.lax.broadcasted_iota(jnp.int32, (NU, NU), 1)
     eyeu = jnp.where(eyeu, 1.0, 0.0).astype(f32)[:, :, None]
-    ns_warm = max(ns_it * 2 // 3, 8)
+    # Warm NS rounds are sized for the TYPICAL stage-to-stage Quu drift
+    # (one Riccati step, residual ~0.1-0.3 -> quadratic convergence in
+    # 4-5 rounds); the tightened post-loop residual gate below (2e-3,
+    # was 0.9) catches the rare slow lanes — early stages where P jumps
+    # from the terminal cost, or alpha-rescaled jumped seeds that start
+    # near residual 0.9 — and reruns those STAGES from the cold scalar
+    # seed.  Round 4 ran 10 blind warm rounds sized for the worst case;
+    # the gate makes the worst case a measured branch instead of a
+    # every-stage tax (~16% of the kernel's VPU elements).
+    if ns_warm is None:
+        ns_warm = max(ns_it * 3 // 8, 6)
 
     def backward_stage(kk, X_prev):
         k = h - 1 - kk
         P = P_scr[:]
-        BtP = _mm(BdT, P, NX)                       # (NU, NX, C)
-        Quu = Reff + _mm(BtP, Bd, NX)               # (NU, NU, C)
-
-        def ns_round(_, X):
-            MX = _mm(Quu, X, NU)
-            return _mm(X, 2.0 * eyeu - MX, NU)
-
-        def cold(Xp):
-            # scalar seed I / ||Quu||_inf, full ns_it rounds
-            absQ = jnp.abs(Quu)
-            row = absQ[:, 0, :]
-            for j in range(1, NU):
-                row = row + absQ[:, j, :]
-            norm = row[0]
-            for i in range(1, NU):
-                norm = jnp.maximum(norm, row[i])    # (C,)
-            X = jnp.broadcast_to(eyeu, (NU, NU, C)) / norm[None, None, :]
-            return jax.lax.fori_loop(0, ns_it, ns_round, X)
-
-        def warm(Xp):
-            # seed from the PREVIOUS stage's inverse: Quu varies by one
-            # Riccati step along the horizon, so Xp is near-contractive;
-            # jumped lanes get the spectral alpha-rescale
-            # (linalg.ns_inverse_bucket argument: M = Xp Quu has real
-            # positive spectrum <= 1 + r, alpha = 1.8/(1+r) contracts).
-            M = _mm(Xp, Quu, NU)
-            E = jnp.abs(eyeu - M)
-            row = E[:, 0, :]
-            for j in range(1, NU):
-                row = row + E[:, j, :]
-            r = row[0]
-            for i in range(1, NU):
-                r = jnp.maximum(r, row[i])          # (C,)
-            alpha = jnp.where(r < 0.9, 1.0, 1.8 / (1.0 + r))
-            # round 1 reuses the seed product: X1 = a Xp (2I - a M)
-            X = _mm(alpha[None, None, :] * Xp,
-                    2.0 * eyeu - alpha[None, None, :] * M, NU)
-            X = jax.lax.fori_loop(0, ns_warm - 1, ns_round, X)
-            # post-loop residual gate (ADVICE r4, mirrors
-            # linalg.ns_inverse_bucket's rescue): a genuinely
-            # ill-conditioned Quu can defeat the alpha-rescale argument
-            # and diverge silently; detect residual blow-up /
-            # non-finites per lane and rerun those lanes from the cold
-            # scalar seed.  lax.cond on the per-chunk ANY keeps the
-            # rescue free on the (overwhelmingly common) healthy path;
-            # the check itself is one NUxNU lane matmul per stage.
-            QX = _mm(Quu, X, NU)
-            Eabs = jnp.abs(eyeu - QX)
-            rrow = Eabs[:, 0, :]
-            for j in range(1, NU):
-                rrow = rrow + Eabs[:, j, :]
-            err = rrow[0]
-            for i in range(1, NU):
-                err = jnp.maximum(err, rrow[i])     # (C,)
-            bad = jnp.logical_not(err < 0.9)        # catches NaN too
-
-            def rescue(Xb):
-                absQ = jnp.abs(Quu)
-                arow = absQ[:, 0, :]
-                for j in range(1, NU):
-                    arow = arow + absQ[:, j, :]
-                norm = arow[0]
-                for i in range(1, NU):
-                    norm = jnp.maximum(norm, arow[i])
-                Xs = jnp.broadcast_to(eyeu, (NU, NU, C)) / norm[None, None, :]
-                Xb = jnp.where(bad[None, None, :], Xs, Xb)
-                Xb = jnp.where(jnp.isfinite(Xb), Xb, 0.0)
-                return jax.lax.fori_loop(0, ns_it, ns_round, Xb)
-
-            return jax.lax.cond(jnp.any(bad), rescue, lambda x: x, X)
-
-        Minv = jax.lax.cond(kk == 0, cold, warm, X_prev)
-        Qux = _mm(BtP, Ad, NX)                      # (NU, NX, C)
+        BtP = _mm(BdT, P, nbd)                      # (NU, NX, C)
+        Quu = Reff + _mm(BtP, Bd, nbd)              # (NU, NU, C)
+        Minv = _stage_quu_inverse(
+            Quu, X_prev, kk == 0, eyeu, C, ns_it, ns_warm
+        )
+        Qux = mm_r_A(BtP)                           # (NU, NX, C)
         K = _mm(Minv, Qux, NU)                      # (NU, NX, C)
         K_scr[k] = K
         Minv_scr[k] = _pack_sym(Minv) if lean else Minv
         Pc_scr[k] = _mv(P, c_get(k), NX)
         # P_k = mask_k Qm + Ad' P Ad - Qux' K  (mask_k = 0 at k = 0,
         # where P is never used — skip the masking, stage 0's P is dead)
-        AtP = _mm(AdT, P, NX)
-        P_new = Qm + _mm(AtP, Ad, NX) - _mm(_t(Qux, NU, NX), K, NU)
+        AtP = mm_l_AT(P)
+        P_new = Qm + mm_r_A(AtP) - _mm(_t(Qux, NU, NX), K, NU)
         P_new = (P_new + _t(P_new, NX, NX)) / 2.0
         P_scr[:] = P_new
         return Minv
@@ -270,7 +351,7 @@ def _solve_body(
             K = K_scr[k]
             Pc = Pc_scr[k]
             v = Pc + p
-            Ftv = _mv(AdT, v, NX) - _tmv(K, _mv(BdT, v, NX)[:NU], NU)
+            Ftv = mv_AT(v) - _tmv(K, _mv(BdT, v, nbd)[:NU], NU)
             if lean:
                 km1 = jnp.maximum(k - 1, 0)
                 qs = -(Qd * xref_ref[km1])
@@ -294,10 +375,10 @@ def _solve_body(
             else:
                 rk = kf_scr[k]
                 Minv_k = Minv_scr[k]
-            BtPp = _mv(BdT, Pc_scr[k] + p_scr[k], NX)
+            BtPp = _mv(BdT, Pc_scr[k] + p_scr[k], nbd)
             kff = _mv(Minv_k, BtPp - rk, NU)
             u_t = -_mv(K, x, NX) - kff              # (NU, C)
-            x_new = _mv(Ad, x, NX) + _mv(Bd, u_t, NU) + c_get(k)
+            x_new = mv_A(x) + _mv(Bd, u_t, NU) + c_get(k)
             Fu_t = jnp.dot(
                 A20, u_t, preferred_element_type=f32, precision=hp
             )                                        # (NC, C)
@@ -348,6 +429,7 @@ def _kernel(
     over_relax: float,
     ns_it: int,
     lean: bool = False,
+    srb_ad: bool = True,
 ):
     _solve_body(
         Ad_ref[:], Bd_ref[:], lambda k: c_ref[k],
@@ -355,7 +437,7 @@ def _kernel(
         Qm_ref, Reff_ref, A20_ref,
         U_out, z_out, y_out, scratch,
         h=h, iters=iters, rho=rho, over_relax=over_relax, ns_it=ns_it,
-        lean=lean,
+        lean=lean, srb_ad=srb_ad,
     )
 
 
@@ -495,7 +577,7 @@ def _kernel_srb(
         Qm_ref, Reff_ref, A20_ref,
         U_out, z_out, y_out, scratch,
         h=h, iters=iters, rho=rho, over_relax=over_relax, ns_it=ns_it,
-        lean=lean,
+        lean=lean, srb_ad=True,
     )
 
 
@@ -521,7 +603,7 @@ def _scratch_shapes(h: int, C: int, lean: bool):
 @functools.partial(
     jax.jit,
     static_argnames=("iters", "rho", "over_relax", "ns_it", "interpret",
-                     "chunk_c"),
+                     "chunk_c", "srb_ad"),
 )
 def fused_stagewise_solve(
     Ad: jnp.ndarray,        # (B, NX, NX)
@@ -543,12 +625,18 @@ def fused_stagewise_solve(
     ns_it: int = 16,
     interpret: bool = False,
     chunk_c: int = 128,
+    srb_ad: bool = True,
 ):
     """Fused stagewise solve.  Returns (U, z, y), each (B, h, ...).
 
     chunk_c: lane-chunk width (128 or 256 — the 256 variant processes
     two 128-lane vregs per tile op, halving the serial-chain count per
-    instance at 2x VMEM; see docs/PERFORMANCE.md lever notes)."""
+    instance at 2x VMEM; see docs/PERFORMANCE.md lever notes).
+
+    srb_ad (default True): assume Ad/Bd carry the nilpotent SRB ZOH
+    sparsity (_N_ROWS/_N_COLS above — true for every problem
+    discretize.nilpotent_zoh or build_stagewise produces) and contract
+    only the live rows.  Pass False for a general dense Ad."""
     B = x0.shape[0]
     h = x_ref.shape[1]
     C = chunk_c
@@ -584,6 +672,7 @@ def fused_stagewise_solve(
     kernel = functools.partial(
         _kernel, h=h, iters=iters, rho=float(rho),
         over_relax=float(over_relax), ns_it=ns_it, lean=lean,
+        srb_ad=srb_ad,
     )
     scratch = _scratch_shapes(h, C, lean)
 
@@ -832,6 +921,7 @@ def _kernel_stream(
     rho: float,
     over_relax: float,
     ns_it: int,
+    srb_ad: bool = True,
 ):
     del U0_ref, z0_ref, y0_ref
     C = Ad_ref.shape[-1]
@@ -845,12 +935,13 @@ def _kernel_stream(
     Reff = Reff_ref[:][:, :, None]
     A20 = A20_ref[:]
     hp = jax.lax.Precision.HIGHEST
+    mv_A, mv_AT, mm_r_A, mm_l_AT, nbd = _ad_ops(Ad, AdT, srb_ad)
 
     P_scr[:] = jnp.broadcast_to(Qm, (NX, NX, C)).astype(f32)
     eyeu = jax.lax.broadcasted_iota(jnp.int32, (NU, NU), 0) == \
         jax.lax.broadcasted_iota(jnp.int32, (NU, NU), 1)
     eyeu = jnp.where(eyeu, 1.0, 0.0).astype(f32)[:, :, None]
-    ns_warm = max(ns_it * 2 // 3, 8)
+    ns_warm = max(ns_it * 3 // 8, 6)
     Qd = jnp.stack([Qm[i, i, :] for i in range(NX)], axis=0)   # (NX, 1)
 
     def k_write_dma(ws, b):
@@ -880,47 +971,19 @@ def _kernel_stream(
             lo = _SB - 1 - ss
             k = b * _SB + lo
             P = P_scr[:]
-            BtP = _mm(BdT, P, NX)
-            Quu = Reff + _mm(BtP, Bd, NX)
-
-            def ns_round(_, X):
-                MX = _mm(Quu, X, NU)
-                return _mm(X, 2.0 * eyeu - MX, NU)
-
-            def cold(Xp):
-                absQ = jnp.abs(Quu)
-                row = absQ[:, 0, :]
-                for j in range(1, NU):
-                    row = row + absQ[:, j, :]
-                norm = row[0]
-                for i in range(1, NU):
-                    norm = jnp.maximum(norm, row[i])
-                X = jnp.broadcast_to(eyeu, (NU, NU, C)) / norm[None, None, :]
-                return jax.lax.fori_loop(0, ns_it, ns_round, X)
-
-            def warm(Xp):
-                M = _mm(Xp, Quu, NU)
-                E = jnp.abs(eyeu - M)
-                row = E[:, 0, :]
-                for j in range(1, NU):
-                    row = row + E[:, j, :]
-                r = row[0]
-                for i in range(1, NU):
-                    r = jnp.maximum(r, row[i])
-                alpha = jnp.where(r < 0.9, 1.0, 1.8 / (1.0 + r))
-                X = _mm(alpha[None, None, :] * Xp,
-                        2.0 * eyeu - alpha[None, None, :] * M, NU)
-                return jax.lax.fori_loop(0, ns_warm - 1, ns_round, X)
-
+            BtP = _mm(BdT, P, nbd)
+            Quu = Reff + _mm(BtP, Bd, nbd)
             first = (bb == 0) & (ss == 0)
-            Minv = jax.lax.cond(first, cold, warm, X_prev)
-            Qux = _mm(BtP, Ad, NX)
+            Minv = _stage_quu_inverse(
+                Quu, X_prev, first, eyeu, C, ns_it, ns_warm
+            )
+            Qux = mm_r_A(BtP)
             K = _mm(Minv, Qux, NU)
             Kbuf[ws, lo] = K
             Mbuf[ws, lo] = _pack_sym(Minv)
             Pc_scr[k] = _mv(P, c_ref[k], NX)
-            AtP = _mm(AdT, P, NX)
-            P_new = Qm + _mm(AtP, Ad, NX) - _mm(_t(Qux, NU, NX), K, NU)
+            AtP = mm_l_AT(P)
+            P_new = Qm + mm_r_A(AtP) - _mm(_t(Qux, NU, NX), K, NU)
             P_new = (P_new + _t(P_new, NX, NX)) / 2.0
             P_scr[:] = P_new
             return Minv
@@ -972,7 +1035,7 @@ def _kernel_stream(
                 K = Kbuf[rs, lo]
                 Pc = Pc_scr[k]
                 v = Pc + p
-                Ftv = _mv(AdT, v, NX) - _tmv(K, _mv(BdT, v, NX)[:NU], NU)
+                Ftv = mv_AT(v) - _tmv(K, _mv(BdT, v, nbd)[:NU], NU)
                 km1 = jnp.maximum(k - 1, 0)
                 qs = -(Qd * xref_ref[km1])
                 qk = jnp.where(k >= 1, qs, jnp.zeros_like(qs))
@@ -1005,10 +1068,10 @@ def _kernel_stream(
                     A20T, w, preferred_element_type=f32, precision=hp
                 )
                 Minv_k = _unpack_sym(Mbuf[rs, lo])
-                BtPp = _mv(BdT, Pc_scr[k] + p_scr[k], NX)
+                BtPp = _mv(BdT, Pc_scr[k] + p_scr[k], nbd)
                 kff = _mv(Minv_k, BtPp - rk, NU)
                 u_t = -_mv(K, x, NX) - kff
-                x_new = _mv(Ad, x, NX) + _mv(Bd, u_t, NU) + c_ref[k]
+                x_new = mv_A(x) + _mv(Bd, u_t, NU) + c_ref[k]
                 Fu_t = jnp.dot(
                     A20, u_t, preferred_element_type=f32, precision=hp
                 )

@@ -420,3 +420,72 @@ def test_stream_kernel_h72_end_to_end():
     np.testing.assert_allclose(
         np.asarray(U_p), np.asarray(U_x), atol=5e-2
     )
+
+
+def test_srb_ad_structure_assumption():
+    """The fused kernels' srb_ad=True contraction skips rest on Ad
+    rows {6..10, 12} being EXACTLY identity rows and Bd row 12 being
+    exactly zero for every problem the framework builds (nilpotent ZOH,
+    ops/discretize.py) — pin that, including with x_drag active."""
+    import jax.numpy as jnp
+
+    from quad_periodic_mpc_tpu.ops.pallas.stagewise_kernel import (
+        _N_COLS, _N_ROWS,
+    )
+
+    qp, sw, cfg, _ = make_problems(horizon=10, seed=3)
+    Ad = np.asarray(sw.Ad)
+    Bd = np.asarray(sw.Bd)
+    N = Ad - np.eye(13)
+    dead_rows = [r for r in range(13) if r not in _N_ROWS]
+    dead_cols = [c for c in range(13) if c not in _N_COLS]
+    assert np.all(N[dead_rows, :] == 0.0)
+    assert np.all(N[:, dead_cols] == 0.0)
+    assert np.all(Bd[12, :] == 0.0)
+
+    # x_drag populates N[11, 9] and N[5, 9] — still inside the support
+    from quad_periodic_mpc_tpu.models import srb
+    from quad_periodic_mpc_tpu.ops import discretize
+
+    A_ct, B_ct, Qc = srb.ct_dynamics(
+        jnp.eye(3), jnp.asarray(np.zeros((4, 3))), cfg.mass,
+        jnp.asarray(cfg.inertia_body), x_drag=0.7,
+    )
+    Adt, _, _ = discretize.nilpotent_zoh(A_ct, B_ct, Qc, cfg.dt_mpc)
+    Nd = np.asarray(Adt) - np.eye(13)
+    assert np.all(Nd[dead_rows, :] == 0.0)
+    assert np.all(Nd[:, dead_cols] == 0.0)
+    assert Nd[11, 9] != 0.0            # x_drag coupling is in-support
+
+
+def test_srb_ad_structured_matches_dense():
+    """srb_ad=True (structured 7-row contractions) and srb_ad=False
+    (dense 13-wide contractions) run the same math — solutions agree to
+    f32 roundoff through the full factorize + ADMM chain."""
+    import jax.numpy as jnp
+
+    from quad_periodic_mpc_tpu.ops.pallas import stagewise_kernel as SK
+
+    qp, sw, cfg, _ = make_problems(horizon=10, seed=12)
+    h = 10
+    B = 4
+    f32 = jnp.float32
+    rho = 0.12
+    R_eff = jnp.diag(sw.R.astype(f32)) + rho * jnp.kron(
+        jnp.eye(4, dtype=f32), jnp.swapaxes(sw.F, -1, -2) @ sw.F
+    )
+    flat = lambda t, *extra: jnp.broadcast_to(t, (B,) + extra).astype(f32)
+    zeros = lambda r: jnp.zeros((B, h, r), f32)
+    args = (
+        flat(sw.Ad, 13, 13), flat(sw.Bd, 13, 12), flat(sw.c, 13),
+        flat(sw.x0, 13), flat(sw.x_ref, h, 13),
+        sw.Q.astype(f32), R_eff, sw.F.astype(f32),
+        flat(sw.l, h, 20), flat(sw.u, h, 20),
+        zeros(12), zeros(20), zeros(20),
+    )
+    kw = dict(iters=30, rho=rho, ns_it=16, interpret=True)
+    U_s, z_s, y_s = SK.fused_stagewise_solve(*args, srb_ad=True, **kw)
+    U_d, z_d, y_d = SK.fused_stagewise_solve(*args, srb_ad=False, **kw)
+    np.testing.assert_allclose(np.asarray(U_s), np.asarray(U_d), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(z_s), np.asarray(z_d), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(y_s), np.asarray(y_d), atol=2e-3)

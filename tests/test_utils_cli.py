@@ -63,3 +63,50 @@ def test_cli_rollout_smoke():
     assert out.returncode == 0, out.stderr[-2000:]
     data = json.loads(out.stdout)
     assert abs(data["height_final"] - 0.29) < 0.03
+
+
+def test_file_tuner_poll(tmp_path):
+    """FileTuner maps changed JSON values onto TunableParams, ignores
+    unchanged files, survives unknown keys + partial writes."""
+    from quad_periodic_mpc_tpu.config import TunableParams
+    from quad_periodic_mpc_tpu.utils import live_tune as LT
+
+    base = TunableParams.from_config()
+    path = tmp_path / "tune.json"
+    tuner = LT.FileTuner(str(path), base)
+    assert tuner.poll() is None                    # no file yet
+
+    path.write_text(json.dumps({"alpha": 3e-5, "bogus": 1.0}))
+    tp = tuner.poll()
+    assert tp is not None
+    assert abs(float(tp.alpha) - 3e-5) < 1e-12
+    assert tuner.unknown_keys == ["bogus"]
+    assert float(tp.swing_height) == float(base.swing_height)  # default kept
+    assert tuner.poll() is None                    # unchanged -> None
+
+    path.write_text("{not json")                   # partial write
+    import os
+    os.utime(path, (1e9, 1e9))                     # force mtime change
+    assert tuner.poll() is None                    # retried, not fatal
+
+
+def test_cli_live_retune_smoke(tmp_path):
+    """`cli live` picks up a tune-file change between chunks (tune_seq
+    increments, alpha reflects the file) — the dynamic_reconfigure
+    analog end-to-end."""
+    tune = tmp_path / "tune.json"
+    tune.write_text(json.dumps({"alpha": 2e-5}))
+    out = subprocess.run(
+        [sys.executable, "-m", "quad_periodic_mpc_tpu", "live",
+         "--steps", "4", "--chunk", "2", "--solver-iters", "10",
+         "--tune-file", str(tune)],
+        capture_output=True, text=True, timeout=600,
+        env={"JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin:/usr/local/bin",
+             "PYTHONPATH": "/root/repo"},
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    rows = [json.loads(l) for l in out.stdout.strip().splitlines()]
+    assert len(rows) == 2
+    assert rows[0]["tune_seq"] == 1
+    assert abs(rows[0]["alpha"] - 2e-5) < 1e-10
+    assert rows[-1]["mpc_steps"] == 4
