@@ -339,26 +339,28 @@ def _solve_body(
         # dynamic-index loop per iteration.
         def bwd(kk, p):
             k = h - 1 - kk
-            p_scr[k] = p
             w = rho * z_out[k] - y_out[k]           # (NC, C)
             rk = jnp.dot(
                 A20T, w, preferred_element_type=f32, precision=hp
             )
             if not lean:
                 kf_scr[k] = rk
-            # s_k = q_stage_k + Ft_k Pc_k + K_k' r_k
-            # Ft_k v = Ad' v - K_k' (Bd' v)
+            # s_k = q_stage_k + Ft_k (Pc_k + p) + K_k' r_k
+            # Ft_k v = Ad' v - K_k' (Bd' v); the two K' matvecs merge:
+            # -K'(Bd'v) + K'rk = -K'(Bd'v - rk) — one _tmv, not two.
+            # p_scr stores v = Pc + p (what fwd actually consumes).
             K = K_scr[k]
-            Pc = Pc_scr[k]
-            v = Pc + p
-            Ftv = mv_AT(v) - _tmv(K, _mv(BdT, v, nbd)[:NU], NU)
+            v = Pc_scr[k] + p
+            p_scr[k] = v
             if lean:
                 km1 = jnp.maximum(k - 1, 0)
                 qs = -(Qd * xref_ref[km1])
                 qk = jnp.where(k >= 1, qs, jnp.zeros_like(qs))
             else:
                 qk = q_scr[k]
-            return qk + Ftv + _tmv(K, rk, NU)
+            return qk + mv_AT(v) - _tmv(
+                K, _mv(BdT, v, nbd)[:NU] - rk, NU
+            )
 
         jax.lax.fori_loop(0, h, bwd, qT)
 
@@ -375,7 +377,7 @@ def _solve_body(
             else:
                 rk = kf_scr[k]
                 Minv_k = Minv_scr[k]
-            BtPp = _mv(BdT, Pc_scr[k] + p_scr[k], nbd)
+            BtPp = _mv(BdT, p_scr[k], nbd)          # p_scr holds Pc + p
             kff = _mv(Minv_k, BtPp - rk, NU)
             u_t = -_mv(K, x, NX) - kff              # (NU, C)
             x_new = mv_A(x) + _mv(Bd, u_t, NU) + c_get(k)
@@ -1027,19 +1029,21 @@ def _kernel_stream(
             def stage(ss, p):
                 lo = _SB - 1 - ss
                 k = blk * _SB + lo
-                p_scr[k] = p
                 w = rho * z_io[k] - y_io[k]
                 rk = jnp.dot(
                     A20T, w, preferred_element_type=f32, precision=hp
                 )
                 K = Kbuf[rs, lo]
-                Pc = Pc_scr[k]
-                v = Pc + p
-                Ftv = mv_AT(v) - _tmv(K, _mv(BdT, v, nbd)[:NU], NU)
+                # merged K' matvecs + v = Pc + p stored for fwd
+                # (see the resident kernel's bwd)
+                v = Pc_scr[k] + p
+                p_scr[k] = v
                 km1 = jnp.maximum(k - 1, 0)
                 qs = -(Qd * xref_ref[km1])
                 qk = jnp.where(k >= 1, qs, jnp.zeros_like(qs))
-                return qk + Ftv + _tmv(K, rk, NU)
+                return qk + mv_AT(v) - _tmv(
+                    K, _mv(BdT, v, nbd)[:NU] - rk, NU
+                )
 
             return jax.lax.fori_loop(0, _SB, stage, p)
 
@@ -1068,7 +1072,7 @@ def _kernel_stream(
                     A20T, w, preferred_element_type=f32, precision=hp
                 )
                 Minv_k = _unpack_sym(Mbuf[rs, lo])
-                BtPp = _mv(BdT, Pc_scr[k] + p_scr[k], nbd)
+                BtPp = _mv(BdT, p_scr[k], nbd)      # p_scr holds Pc + p
                 kff = _mv(Minv_k, BtPp - rk, NU)
                 u_t = -_mv(K, x, NX) - kff
                 x_new = mv_A(x) + _mv(Bd, u_t, NU) + c_ref[k]
