@@ -489,3 +489,62 @@ def test_srb_ad_structured_matches_dense():
     np.testing.assert_allclose(np.asarray(U_s), np.asarray(U_d), atol=2e-4)
     np.testing.assert_allclose(np.asarray(z_s), np.asarray(z_d), atol=2e-4)
     np.testing.assert_allclose(np.asarray(y_s), np.asarray(y_d), atol=2e-3)
+
+
+def test_stage_quu_inverse_rescue_recovers_bad_seed():
+    """_stage_quu_inverse's residual gate (ADVICE r4): a garbage warm
+    seed — zeros, huge, or NaN-poisoned — must be detected by the 2e-3
+    residual gate and rescued to the correct inverse from the cold
+    scalar seed.  The helper is pure lane-math, so it runs directly on
+    CPU arrays (no pallas harness needed)."""
+    import jax.numpy as jnp
+
+    from quad_periodic_mpc_tpu.ops.pallas import stagewise_kernel as SK
+
+    rng = np.random.default_rng(5)
+    C = 8
+    NU = 12
+    # SPD Quu batch with condition ~1e3 (lane-major (NU, NU, C))
+    Ms = []
+    for _ in range(C):
+        A = rng.normal(size=(NU, NU))
+        Q, _ = np.linalg.qr(A)
+        d = np.logspace(0, 3, NU)
+        Ms.append(Q @ np.diag(d) @ Q.T)
+    Quu = jnp.asarray(np.stack(Ms, axis=-1), jnp.float32)
+    eyeu = jnp.eye(NU, dtype=jnp.float32)[:, :, None]
+    true_inv = np.stack(
+        [np.linalg.inv(Ms[i]) for i in range(C)], axis=-1
+    )
+
+    for seed_name, seed in (
+        ("zeros", jnp.zeros((NU, NU, C), jnp.float32)),
+        ("huge", 1e8 * jnp.ones((NU, NU, C), jnp.float32)),
+        ("nan", jnp.full((NU, NU, C), jnp.nan, jnp.float32)),
+    ):
+        X = SK._stage_quu_inverse(
+            Quu, seed, first=jnp.asarray(False), eyeu=eyeu, C=C,
+            ns_it=30, ns_warm=6,
+        )
+        resid = np.max(np.abs(
+            np.einsum("ikc,kjc->ijc", np.asarray(Quu), np.asarray(X))
+            - np.asarray(eyeu)
+        ))
+        assert np.isfinite(resid), seed_name
+        assert resid < 5e-3, (seed_name, resid)
+        rel = np.max(np.abs(np.asarray(X) - true_inv)) / np.max(
+            np.abs(true_inv)
+        )
+        assert rel < 1e-2, (seed_name, rel)
+
+    # and a GOOD warm seed must not be disturbed (gate passes, no rescue)
+    good = jnp.asarray(true_inv * (1 + 1e-3), jnp.float32)
+    Xg = SK._stage_quu_inverse(
+        Quu, good, first=jnp.asarray(False), eyeu=eyeu, C=C,
+        ns_it=30, ns_warm=6,
+    )
+    residg = np.max(np.abs(
+        np.einsum("ikc,kjc->ijc", np.asarray(Quu), np.asarray(Xg))
+        - np.asarray(eyeu)
+    ))
+    assert residg < 2e-3
