@@ -393,9 +393,8 @@ def test_stream_kernel_matches_resident():
     np.testing.assert_allclose(np.asarray(y_s), np.asarray(y_r), atol=1e-2)
 
 
-def test_stream_kernel_h72_end_to_end():
-    """64 < h <= 128 dispatches the streaming kernel through
-    qp_stagewise.solve; KKT-gated vs the XLA path at h = 72."""
+def _h72_stream_check():
+    """Body of test_stream_kernel_h72_end_to_end (run in a subprocess)."""
     import jax.numpy as jnp
 
     qp, sw, cfg, _ = make_problems(horizon=24, seed=6)
@@ -420,6 +419,45 @@ def test_stream_kernel_h72_end_to_end():
     np.testing.assert_allclose(
         np.asarray(U_p), np.asarray(U_x), atol=5e-2
     )
+    print("H72_STREAM_OK")
+
+
+def test_stream_kernel_h72_end_to_end():
+    """64 < h <= 128 dispatches the streaming kernel through
+    qp_stagewise.solve; KKT-gated vs the XLA path at h = 72.
+
+    Runs in a SUBPROCESS: the h=72 interpret-mode streaming program is
+    the largest single XLA-CPU compile in the suite and LLVM reliably
+    segfaults compiling it inside a long-lived suite process
+    (memory/stack pressure after hundreds of earlier compiles) while a
+    fresh interpreter compiles it fine — isolate the compile, keep the
+    coverage."""
+    import os as _os
+    import subprocess
+    import sys as _sys
+
+    repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    script = (
+        "import sys; sys.path[:0] = [%r, %r]\n"
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "jax.config.update('jax_enable_x64', True)\n"
+        "jax.config.update('jax_compilation_cache_dir', %r)\n"
+        "jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)\n"
+        "jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)\n"
+        "from test_stagewise import _h72_stream_check\n"
+        "_h72_stream_check()\n"
+    ) % (repo, _os.path.join(repo, "tests"),
+         _os.path.join(repo, ".jaxcache-tests"))
+    out = subprocess.run(
+        [_sys.executable, "-c", script],
+        capture_output=True, text=True, timeout=900,
+        env={"PATH": "/usr/bin:/bin:/usr/local/bin",
+             "JAX_PLATFORMS": "cpu",
+             "XLA_FLAGS": "--xla_force_host_platform_device_count=8"},
+    )
+    assert out.returncode == 0, (out.stdout[-1000:], out.stderr[-3000:])
+    assert "H72_STREAM_OK" in out.stdout
 
 
 def test_srb_ad_structure_assumption():
