@@ -442,13 +442,12 @@ def test_stream_kernel_h72_end_to_end():
         "import jax\n"
         "jax.config.update('jax_platforms', 'cpu')\n"
         "jax.config.update('jax_enable_x64', True)\n"
-        "jax.config.update('jax_compilation_cache_dir', %r)\n"
-        "jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)\n"
-        "jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)\n"
         "from test_stagewise import _h72_stream_check\n"
         "_h72_stream_check()\n"
-    ) % (repo, _os.path.join(repo, "tests"),
-         _os.path.join(repo, ".jaxcache-tests"))
+    ) % (repo, _os.path.join(repo, "tests"))
+    # NOTE: no persistent compile cache in the subprocess — the giant
+    # interpret-mode program's cache entry has crashed readers before
+    # (see test_terrain_sweep_small_sharded); compile in-memory.
     out = subprocess.run(
         [_sys.executable, "-c", script],
         capture_output=True, text=True, timeout=900,

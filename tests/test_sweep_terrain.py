@@ -35,11 +35,8 @@ def test_build_scenarios_terrain_axis():
     assert t2 is None
 
 
-def test_terrain_sweep_small_sharded():
-    """8 scenarios (2 gaits x 2 phases x 2 risers) across the 8-device
-    mesh; flat-riser instances must track height strictly better than
-    tall-riser ones under the terrain-blind-free (map-aware) controller,
-    and all instances stay upright."""
+def _sharded_sweep_check():
+    """Body of test_terrain_sweep_small_sharded (run in a subprocess)."""
     spec = SweepSpec(
         gait_names=("trotting", "walking"), phase_offsets=2,
         dist_static=(0.0,), dist_amp=(0.0,),
@@ -58,6 +55,43 @@ def test_terrain_sweep_small_sharded():
     assert np.isfinite(h).all(), h
     # every instance keeps its height-above-terrain error bounded
     assert (h < 0.08).all(), h
+    print("SHARDED_SWEEP_OK")
+
+
+def test_terrain_sweep_small_sharded():
+    """8 scenarios (2 gaits x 2 phases x 2 risers) across the 8-device
+    mesh; flat-riser instances must track height strictly better than
+    tall-riser ones under the terrain-blind-free (map-aware) controller,
+    and all instances stay upright.
+
+    Runs in a SUBPROCESS with the persistent compile cache DISABLED for
+    it: this 8-device SPMD rollout is the suite's largest compiled
+    program, and its persistent-cache entry has crashed long-lived suite
+    processes on BOTH write (SIGSEGV in backend_compile_and_load) and
+    read (SIGABRT deserializing in get_executable_and_time) — a fresh
+    interpreter compiling it in-memory is reliable."""
+    import os as _os
+    import subprocess
+    import sys as _sys
+
+    repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    script = (
+        "import sys; sys.path[:0] = [%r, %r]\n"
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "jax.config.update('jax_enable_x64', True)\n"
+        "from test_sweep_terrain import _sharded_sweep_check\n"
+        "_sharded_sweep_check()\n"
+    ) % (repo, _os.path.join(repo, "tests"))
+    out = subprocess.run(
+        [_sys.executable, "-c", script],
+        capture_output=True, text=True, timeout=900,
+        env={"PATH": "/usr/bin:/bin:/usr/local/bin",
+             "JAX_PLATFORMS": "cpu",
+             "XLA_FLAGS": "--xla_force_host_platform_device_count=8"},
+    )
+    assert out.returncode == 0, (out.stdout[-1000:], out.stderr[-3000:])
+    assert "SHARDED_SWEEP_OK" in out.stdout
 
 
 @pytest.mark.slow
