@@ -467,7 +467,8 @@ def main() -> None:
                 print(
                     f"scan-chained rollout shape: {sps_ch:,.0f} solves/s "
                     f"({dt * 1e3:.2f} ms/step, chain of {KCH}, loops "
-                    f"[{', '.join(f'{best_b / t:,.0f}' for t in loops)}])",
+                    f"[{', '.join(f'{best_b / t:,.0f}' for t in loops)}]) "
+                    f"[t+{time.perf_counter() - t_start:.0f}s]",
                     file=sys.stderr, flush=True,
                 )
         except Exception as e:
@@ -521,7 +522,8 @@ def main() -> None:
             _update(p99_ms=round(p99, 4))
             print(f"b=1 on-device per-step latency p50 {p50:.3f} ms, "
                   f"p99 {p99:.3f} ms (chain of {K}, 30 dispatches; "
-                  "budget 2 ms)", file=sys.stderr, flush=True)
+                  f"budget 2 ms) [t+{time.perf_counter() - t_start:.0f}s]",
+                  file=sys.stderr, flush=True)
         except Exception as e:
             print(f"p99 phase failed: {type(e).__name__}: {e}",
                   file=sys.stderr, flush=True)
@@ -572,7 +574,8 @@ def main() -> None:
             spread = ", ".join(f"{t * 1e3:.1f}" for t in loops)
             print(
                 f"{label}: {sps:,.0f} solves/s @ batch {batch} "
-                f"(median {med * 1e3:.1f} ms/step of [{spread}])",
+                f"(median {med * 1e3:.1f} ms/step of [{spread}]) "
+                f"[t+{time.perf_counter() - t_start:.0f}s]",
                 file=sys.stderr, flush=True,
             )
 
@@ -662,115 +665,10 @@ def main() -> None:
             n_loops=4,
         )
 
-    if not args.no_longhorizon:
-        # iterations=50: at the long horizons the warm carry covers a
-        # smaller fraction of the constraint set — ADMM-30 measured
-        # primal 9e-3 (above the gate), ADMM-50 2.2e-4 (40x under)
-        lh_solver = ADMMConfig(iterations=50, formulation="stagewise",
-                               backend="pallas")
-        walking_line(
-            "h=32 stagewise end-to-end", "h32_stagewise_solves_per_s",
-            horizon=32, batch=512, solver_cfg=lh_solver,
-            n_per_loop=max(args.iters // 4, 5), kkt_prefix="h32",
-        )
-        walking_line(
-            "h=64 stagewise end-to-end", "h64_stagewise_solves_per_s",
-            horizon=64, batch=256, solver_cfg=lh_solver,
-            n_per_loop=max(args.iters // 4, 5), kkt_prefix="h64",
-            warmup=4,
-        )
-        # h=128: the gains-streaming kernel (per-stage K/Quu^{-1} DMA
-        # double-buffered through VMEM, fused_stagewise_solve_stream) —
-        # 6.7x the reference's hard cap of h=19 (SolverMPC.cpp:113)
-        walking_line(
-            "h=128 stagewise end-to-end (streamed gains)",
-            "h128_stagewise_solves_per_s",
-            horizon=128, batch=128, solver_cfg=lh_solver,
-            n_per_loop=max(args.iters // 4, 5), kkt_prefix="h128",
-            warmup=4,
-        )
-
-    # ---- accuracy-gated bf16-K^{-1} pallas variant at the headline
-    # batch (the throughput-first option; the headline itself runs the
-    # f32-resident production default) ----
-    if not args.no_pallas_audit and best_b and args.solver == "admm":
-        try:
-            from quad_periodic_mpc_tpu.ops import qp_admm as _qa
-
-            pl_solver = ADMMConfig(
-                iterations=args.admm_iters, backend="pallas",
-                pallas_bf16_kinv=True,
-            )
-            pl_jit = jax.jit(make_step(mpc_cfg, pl_solver))
-            ctrl, plant, cmd, gait, dist = make_inputs(best_b)
-            for _ in range(6):
-                ctrl, plant, f = pl_jit(ctrl, plant, cmd, gait, dist)
-            float(jnp.sum(f))
-            n = args.iters
-            loops = []
-            for _ in range(3):
-                t0 = time.perf_counter()
-                for _ in range(n):
-                    ctrl, plant, f = pl_jit(ctrl, plant, cmd, gait, dist)
-                checksum = float(jnp.sum(f))
-                loops.append(best_b * n / (time.perf_counter() - t0))
-            if np.isfinite(checksum):
-                sps_pl = float(np.median(loops))
-                _update(
-                    pallas_bf16_solves_per_s=round(sps_pl, 1),
-                    pallas_bf16_solves_per_s_spread=sorted(
-                        round(v, 1) for v in loops
-                    ),
-                )
-                print(
-                    f"pallas bf16-K^-1: {sps_pl:,.0f} solves/s "
-                    f"@ batch {best_b} (median of "
-                    f"[{', '.join(f'{v:,.0f}' for v in loops)}])",
-                    file=sys.stderr, flush=True,
-                )
-
-            # audit the pallas production path with the same KKT hook
-            def pl_audit(ctrl, plant, cmd, gait, dist):
-                obs = S.observe(plant)
-                ctrl = M.setup_command(ctrl, cmd, loop_cfg)
-                ctrl, forces, qp = M.mpc_step(
-                    ctrl, obs, cmd, gait, plant.t, mpc_cfg, loop_cfg,
-                    est_cfg, pl_solver, return_qp=True,
-                )
-                res = _qa.kkt_residuals(
-                    qp, ctrl.warm_x, ctrl.warm_z, ctrl.warm_y
-                )
-                seg = G.segment_index(
-                    gait, ctrl.iteration, loop_cfg.iterations_between_mpc
-                )
-                stance = G.mpc_table(gait, seg, 1)[..., 0, :].astype(dtype)
-                plant = S.step(
-                    plant, forces[..., 0, :, :], plant.p_feet, stance,
-                    dist, mpc_cfg, dt_mpc,
-                )
-                ctrl = ctrl._replace(
-                    iteration=ctrl.iteration + loop_cfg.iterations_between_mpc
-                )
-                return ctrl, plant, res
-
-            pl_audit_jit = jax.jit(pl_audit)
-            ctrl, plant, cmd, gait, dist = make_inputs(best_b)
-            res = None
-            for _ in range(6):
-                ctrl, plant, res = pl_audit_jit(ctrl, plant, cmd, gait, dist)
-            pkp = float(jnp.max(res["primal"]))
-            pkd = float(jnp.max(res["dual"]))
-            _update(pallas_bf16_kkt_primal_max=round(pkp, 6),
-                    pallas_bf16_kkt_dual_max=round(pkd, 6))
-            print(
-                f"pallas bf16 warm-step-6 KKT: primal max {pkp:.2e}, "
-                f"dual max {pkd:.2e} (gate 6e-3)",
-                file=sys.stderr, flush=True,
-            )
-        except Exception as e:
-            print(f"pallas phase failed: {type(e).__name__}: {e}",
-                  file=sys.stderr, flush=True)
-
+    # ---- full-stack tier runs BEFORE the long-horizon and legacy
+    # condensed/bf16 lines: on a cold compile cache the watchdog
+    # budget can expire mid-run, and the composed product tier is
+    # the highest-value field to have captured when it does ----
     # ---- full-stack torque tier: MPC + KinWBC/WBIC + leg torques on the
     # articulated plant (WBC_Ctrl.cpp:60-205 analog), batched ----
     if not args.no_fullstack:
@@ -858,7 +756,8 @@ def main() -> None:
                     f"(median {med * 1e3:.1f} ms/period of "
                     f"[{', '.join(f'{t*1e3:.0f}' for t in times)}], "
                     f"batched tick p99 "
-                    f"{float(np.percentile(tick_ms, 99)):.2f} ms)",
+                    f"{float(np.percentile(tick_ms, 99)):.2f} ms) "
+                    f"[t+{time.perf_counter() - t_start:.0f}s]",
                     file=sys.stderr, flush=True,
                 )
 
@@ -1003,12 +902,124 @@ def main() -> None:
                 f"substeps): p50 {p50t:.3f} ms, p99 {p99t:.3f} ms "
                 f"(budget 2 ms; plant stream {plant_ms:.3f} ms/tick, "
                 f"controller stream p50 {cs_p50:.3f} / p99 {cs_p99:.3f} "
-                f"ms/tick measured as separate dispatch streams)",
+                f"ms/tick measured as separate dispatch streams) "
+                f"[t+{time.perf_counter() - t_start:.0f}s]",
                 file=sys.stderr, flush=True,
             )
         except Exception as e:
             print(f"fullstack phase failed: {type(e).__name__}: {e}",
                   file=sys.stderr, flush=True)
+
+    if not args.no_longhorizon:
+        # iterations=50: at the long horizons the warm carry covers a
+        # smaller fraction of the constraint set — ADMM-30 measured
+        # primal 9e-3 (above the gate), ADMM-50 2.2e-4 (40x under)
+        lh_solver = ADMMConfig(iterations=50, formulation="stagewise",
+                               backend="pallas")
+        walking_line(
+            "h=32 stagewise end-to-end", "h32_stagewise_solves_per_s",
+            horizon=32, batch=512, solver_cfg=lh_solver,
+            n_per_loop=max(args.iters // 4, 5), kkt_prefix="h32",
+        )
+        walking_line(
+            "h=64 stagewise end-to-end", "h64_stagewise_solves_per_s",
+            horizon=64, batch=256, solver_cfg=lh_solver,
+            n_per_loop=max(args.iters // 4, 5), kkt_prefix="h64",
+            warmup=4,
+        )
+        # h=128: the gains-streaming kernel (per-stage K/Quu^{-1} DMA
+        # double-buffered through VMEM, fused_stagewise_solve_stream) —
+        # 6.7x the reference's hard cap of h=19 (SolverMPC.cpp:113)
+        walking_line(
+            "h=128 stagewise end-to-end (streamed gains)",
+            "h128_stagewise_solves_per_s",
+            horizon=128, batch=128, solver_cfg=lh_solver,
+            n_per_loop=max(args.iters // 4, 5), kkt_prefix="h128",
+            warmup=4,
+        )
+
+    # ---- accuracy-gated bf16-K^{-1} pallas variant at the headline
+    # batch (the throughput-first option; the headline itself runs the
+    # f32-resident production default) ----
+    if not args.no_pallas_audit and best_b and args.solver == "admm":
+        try:
+            from quad_periodic_mpc_tpu.ops import qp_admm as _qa
+
+            pl_solver = ADMMConfig(
+                iterations=args.admm_iters, backend="pallas",
+                pallas_bf16_kinv=True,
+            )
+            pl_jit = jax.jit(make_step(mpc_cfg, pl_solver))
+            ctrl, plant, cmd, gait, dist = make_inputs(best_b)
+            for _ in range(6):
+                ctrl, plant, f = pl_jit(ctrl, plant, cmd, gait, dist)
+            float(jnp.sum(f))
+            n = args.iters
+            loops = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                for _ in range(n):
+                    ctrl, plant, f = pl_jit(ctrl, plant, cmd, gait, dist)
+                checksum = float(jnp.sum(f))
+                loops.append(best_b * n / (time.perf_counter() - t0))
+            if np.isfinite(checksum):
+                sps_pl = float(np.median(loops))
+                _update(
+                    pallas_bf16_solves_per_s=round(sps_pl, 1),
+                    pallas_bf16_solves_per_s_spread=sorted(
+                        round(v, 1) for v in loops
+                    ),
+                )
+                print(
+                    f"pallas bf16-K^-1: {sps_pl:,.0f} solves/s "
+                    f"@ batch {best_b} (median of "
+                    f"[{', '.join(f'{v:,.0f}' for v in loops)}]) "
+                    f"[t+{time.perf_counter() - t_start:.0f}s]",
+                    file=sys.stderr, flush=True,
+                )
+
+            # audit the pallas production path with the same KKT hook
+            def pl_audit(ctrl, plant, cmd, gait, dist):
+                obs = S.observe(plant)
+                ctrl = M.setup_command(ctrl, cmd, loop_cfg)
+                ctrl, forces, qp = M.mpc_step(
+                    ctrl, obs, cmd, gait, plant.t, mpc_cfg, loop_cfg,
+                    est_cfg, pl_solver, return_qp=True,
+                )
+                res = _qa.kkt_residuals(
+                    qp, ctrl.warm_x, ctrl.warm_z, ctrl.warm_y
+                )
+                seg = G.segment_index(
+                    gait, ctrl.iteration, loop_cfg.iterations_between_mpc
+                )
+                stance = G.mpc_table(gait, seg, 1)[..., 0, :].astype(dtype)
+                plant = S.step(
+                    plant, forces[..., 0, :, :], plant.p_feet, stance,
+                    dist, mpc_cfg, dt_mpc,
+                )
+                ctrl = ctrl._replace(
+                    iteration=ctrl.iteration + loop_cfg.iterations_between_mpc
+                )
+                return ctrl, plant, res
+
+            pl_audit_jit = jax.jit(pl_audit)
+            ctrl, plant, cmd, gait, dist = make_inputs(best_b)
+            res = None
+            for _ in range(6):
+                ctrl, plant, res = pl_audit_jit(ctrl, plant, cmd, gait, dist)
+            pkp = float(jnp.max(res["primal"]))
+            pkd = float(jnp.max(res["dual"]))
+            _update(pallas_bf16_kkt_primal_max=round(pkp, 6),
+                    pallas_bf16_kkt_dual_max=round(pkd, 6))
+            print(
+                f"pallas bf16 warm-step-6 KKT: primal max {pkp:.2e}, "
+                f"dual max {pkd:.2e} (gate 6e-3)",
+                file=sys.stderr, flush=True,
+            )
+        except Exception as e:
+            print(f"pallas phase failed: {type(e).__name__}: {e}",
+                  file=sys.stderr, flush=True)
+
 
     if args.profile:
         ctrl, plant, cmd, gait, dist = make_inputs(best_b or 2048)
